@@ -283,17 +283,21 @@ def color_blend(
     blending_logits: [B, S, n_cand]; pixel color/mask: [B, S, V, 3]/[B, S, V];
     patch color/mask: [B, S, V, Npx, 3]/[B, S, V, Npx].
     """
-    nviews = pts_pixel_color.shape[-2]
+    nviews = (
+        pts_pixel_color.shape[-2] if pts_pixel_color is not None else pts_patch_color.shape[-3]
+    )
     if img_index is not None:
         logits = jnp.take(blending_logits, img_index.astype(jnp.int32), axis=-1)
     else:
         logits = blending_logits[..., :nviews]
 
-    w_pix = jax.nn.softmax(logits, axis=-1)
-    w_pix = w_pix * pts_pixel_mask
-    w_pix = w_pix / (jnp.sum(w_pix, axis=-1, keepdims=True) + 1e-8)
-    final_pixel_color = jnp.sum(pts_pixel_color * w_pix[..., None], axis=-2)
-    final_pixel_mask = jnp.sum(pts_pixel_mask, axis=-1, keepdims=True) > 0
+    final_pixel_color = final_pixel_mask = None
+    if pts_pixel_color is not None:
+        w_pix = jax.nn.softmax(logits, axis=-1)
+        w_pix = w_pix * pts_pixel_mask
+        w_pix = w_pix / (jnp.sum(w_pix, axis=-1, keepdims=True) + 1e-8)
+        final_pixel_color = jnp.sum(pts_pixel_color * w_pix[..., None], axis=-2)
+        final_pixel_mask = jnp.sum(pts_pixel_mask, axis=-1, keepdims=True) > 0
 
     final_patch_color, final_patch_mask = None, None
     if pts_patch_color is not None:

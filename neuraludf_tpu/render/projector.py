@@ -1,0 +1,157 @@
+"""Multi-view pixel/patch warping (SparseNeuS/NeuralWarp-style).
+
+TPU-native batched-einsum redesign of the reference projector
+(ref: models/patch_projector.py:11-214, models/projector_utils.py:8-85):
+per-sample tangent-plane homographies H = K_src (R_rel + t_rel·nᵀ/d) K_ref⁻¹
+warp reference-patch pixels into source views; colors come from bilinear
+gathers (ops.interp.grid_sample_2d). Everything is one fused einsum chain —
+no loops, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import grid_sample_2d
+
+
+def build_patch_offset(h_patch_size: int) -> np.ndarray:
+    """(2h+1)² integer pixel offsets, x-major pairs (ref: patch_projector.py:212)."""
+    off = np.arange(-h_patch_size, h_patch_size + 1)
+    gy, gx = np.meshgrid(off, off, indexing="ij")
+    return np.stack([gx, gy], axis=-1).reshape(-1, 2).astype(np.float32)
+
+
+def cam2pixel_grid(pts, proj_rot, proj_tr, size_wh) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project world points into normalized pixel grids for every view.
+
+    pts: [B, S, 3]; proj_rot: [V, 3, 3]; proj_tr: [V, 3, 1].
+    Returns grid [V, B, S, 2] in [-1, 1] (align_corners=True convention,
+    out-of-frame set to 2 for zeros padding) and valid mask [V, B, S]
+    (ref: projector_utils.py:8-48).
+    """
+    W, H = size_wh
+    pc = jnp.einsum("vij,bsj->vbsi", proj_rot, pts) + proj_tr[:, None, None, :, 0]
+    X, Y, Z = pc[..., 0], pc[..., 1], jnp.maximum(pc[..., 2], 1e-3)
+    x_norm = 2.0 * (X / Z) / (W - 1) - 1.0
+    y_norm = 2.0 * (Y / Z) / (H - 1) - 1.0
+    valid = (jnp.abs(x_norm) < 1.0) & (jnp.abs(y_norm) < 1.0)
+    x_norm = jnp.where(jnp.abs(x_norm) > 1.0, 2.0, x_norm)
+    y_norm = jnp.where(jnp.abs(y_norm) > 1.0, 2.0, y_norm)
+    return jnp.stack([x_norm, y_norm], axis=-1), valid
+
+
+class PatchProjector:
+    def __init__(self, h_patch_size: int):
+        self.h_patch_size = h_patch_size
+        self.offsets = jnp.asarray(build_patch_offset(h_patch_size))  # [Npx, 2]
+        self.plane_dist_thresh = 0.001
+
+    def pixel_warp(self, pts, imgs, intrinsics, w2cs):
+        """pts: [B, S, 3]; imgs: [V, 3, H, W]; intrinsics/w2cs: [V, 4, 4].
+        Returns colors [B, S, V, 3], mask [B, S, V]
+        (ref: patch_projector.py:21-43)."""
+        V, _, H, W = imgs.shape
+        proj = jnp.einsum("vij,vjk->vik", intrinsics[:, :3, :3], w2cs[:, :3, :])
+        grid, valid = cam2pixel_grid(pts, proj[:, :3, :3], proj[:, :3, 3:], (W, H))
+        colors = jax.vmap(grid_sample_2d)(imgs, grid)  # [V, B, S, 3]
+        return colors.transpose(1, 2, 0, 3), valid.transpose(1, 2, 0)
+
+    def patch_warp(
+        self, pts, uv, normals, src_imgs, ref_intrinsic, src_intrinsics,
+        ref_c2w, src_c2ws, *, detach_normal: bool = False,
+    ):
+        """Homography patch warp (ref: patch_projector.py:45-150).
+
+        pts: [B, S, 3]; uv: [B, 2] in (-1, 1); normals: [B, S, 3] world;
+        src_imgs: [V, 3, H, W]. Returns colors [B, S, V, Npx, 3],
+        mask [B, S, V, Npx].
+        """
+        if detach_normal:
+            normals = jax.lax.stop_gradient(normals)
+        B, S, _ = pts.shape
+        V, _, sizeH, sizeW = src_imgs.shape
+        npx = self.offsets.shape[0]
+
+        uv_px = jnp.stack(
+            [(uv[:, 0] + 1.0) * 0.5 * (sizeW - 1), (uv[:, 1] + 1.0) * 0.5 * (sizeH - 1)],
+            axis=-1,
+        )
+
+        ref_intr = ref_intrinsic[:3, :3]
+        inv_ref_intr = jnp.linalg.inv(ref_intr)
+        src_intrs = src_intrinsics[:, :3, :3]
+
+        inv_ref_pose = jnp.linalg.inv(ref_c2w)
+        inv_src_poses = jnp.linalg.inv(src_c2ws)
+
+        ref_cam_loc = ref_c2w[:3, 3]
+        pts_flat = pts.reshape(-1, 3)  # [N, 3], N = B*S
+        normals_flat = normals.reshape(-1, 3)
+        sampled_dists = jnp.linalg.norm(pts_flat - ref_cam_loc[None], axis=-1)  # [N]
+
+        rel = jnp.einsum("vij,jk->vik", inv_src_poses, ref_c2w)  # [V,4,4]
+        R_rel = rel[:, :3, :3]
+        t_rel = rel[:, :3, 3]
+        R_ref = inv_ref_pose[:3, :3]
+        t_ref = inv_ref_pose[:3, 3]
+
+        # plane geometry (in the reference camera frame), gradient-free
+        rot_normals = jax.lax.stop_gradient(
+            jnp.einsum("ij,nj->ni", R_ref, normals_flat)
+        )  # [N, 3]
+        points_in_ref = jnp.einsum("ij,nj->ni", R_ref, pts_flat) + t_ref[None]  # [N,3]
+        d1 = jnp.sum(rot_normals * points_in_ref, axis=-1)  # [N]
+        src_centers_in_ref = -jnp.einsum("vji,vj->vi", R_rel, t_rel)  # [V, 3]
+        d2 = jnp.einsum("ni,vi->nv", rot_normals, src_centers_in_ref)  # [N, V]
+
+        valid_hom = (
+            (jnp.abs(d1)[:, None] > self.plane_dist_thresh)
+            & (jnp.abs(d1[:, None] - d2) > self.plane_dist_thresh)
+            & ((d2 / d1[:, None]) < 1.0)
+        )  # [N, V]
+
+        sign = jnp.where(jnp.sign(d1) == 0, 1.0, jnp.sign(d1))
+        d = jnp.maximum(jnp.abs(d1), 1e-8) * sign  # [N]
+
+        # H_valid[v,n] = K_src (R_rel + t_rel nᵀ / d) K_ref⁻¹
+        outer = jnp.einsum("vi,nj->vnij", t_rel, rot_normals) / d[None, :, None, None]
+        H_valid = jnp.einsum(
+            "vij,vnjk,kl->vnil", src_intrs, R_rel[:, None] + outer, inv_ref_intr
+        )  # [V, N, 3, 3]
+        # fronto-parallel fallback for degenerate planes
+        z_axis = jnp.asarray([0.0, 0.0, 1.0], pts.dtype)
+        outer_fp = jnp.einsum("vi,j->vij", t_rel, z_axis)[:, None] / sampled_dists[
+            None, :, None, None
+        ]
+        H_fp = jnp.einsum("vij,vnjk,kl->vnil", src_intrs, R_rel[:, None] + outer_fp, inv_ref_intr)
+        Hmat = jnp.where(valid_hom.T[:, :, None, None], H_valid, H_fp)  # [V, N, 3, 3]
+
+        pixels = uv_px[:, None, :] + self.offsets[None, :, :]  # [B, Npx, 2]
+        pix_h = jnp.concatenate([pixels, jnp.ones((B, npx, 1), pts.dtype)], axis=-1)
+
+        Hmat = Hmat.reshape(V, B, S, 3, 3)
+        warped = jnp.einsum("vbsik,bok->vbsoi", Hmat, pix_h)  # [V, B, S, Npx, 3]
+        grid = warped[..., :2] / jnp.maximum(warped[..., 2:], 1e-8)
+        mask = warped[..., 2] > 0
+
+        h = self.h_patch_size
+        mask = (
+            mask
+            & (grid[..., 0] < (sizeW - h))
+            & (grid[..., 1] < (sizeH - h))
+            & jnp.all(grid >= h, axis=-1)
+        )
+
+        grid_n = jnp.stack(
+            [2.0 * grid[..., 0] / (sizeW - 1) - 1.0, 2.0 * grid[..., 1] / (sizeH - 1) - 1.0],
+            axis=-1,
+        )
+        grid_n = jnp.clip(grid_n, -10.0, 10.0)
+
+        colors = jax.vmap(grid_sample_2d)(src_imgs, grid_n)  # [V, B, S, Npx, 3]
+        return colors.transpose(1, 2, 0, 3, 4), mask.transpose(1, 2, 0, 3)

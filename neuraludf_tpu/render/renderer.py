@@ -1,0 +1,434 @@
+"""The UDF volume renderer — occlusion-aware unsigned-distance rendering.
+
+TPU-native redesign of the reference core (ref:
+models/udf_renderer_blending.py:107-721). One pure function per stage,
+all static shapes, single differentiable graph per configuration; the
+runner jits `render` once per (config, blending-mode) pair.
+
+Key algorithm (NeuralUDF, CVPR 2023):
+  * occlusion density `alpha_occ` from a logistic PDF in the UDF,
+  * a visibility probability `vis_prob` = cumprod(1 - alpha_occ + boost)
+    estimating "the first surface has not been crossed yet",
+  * section alpha = alpha_plus * vis_prob + alpha_minus * (1 - vis_prob),
+    i.e. the UDF is treated as +SDF before the first crossing and -SDF
+    after it,
+  * standard transmittance compositing over (fg samples ++ background
+    NeRF++ samples).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..nets import fields
+from .alpha import sdf2alpha, transmittance_weights, udf2logistic
+from .sampling import (
+    _dists_with_tail,
+    _ray_points,
+    importance_sample_classical,
+    importance_sample_mix,
+    mix_total_samples,
+    sample_pdf,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Trace-time (static) rendering switches."""
+    perturb: bool = True
+    with_background_rgb: bool = False  # white background compositing
+    pixel_blending: bool = False
+    patch_blending: bool = False
+    compute_random_sparse: bool = True
+
+
+class UDFRenderer:
+    """Holds static configuration; all methods are pure in (params, inputs)."""
+
+    def __init__(self, model_cfg: ModelConfig):
+        self.cfg = model_cfg
+        self.rcfg = model_cfg.udf_renderer
+        from .projector import PatchProjector  # local import to avoid cycles
+
+        self.projector = PatchProjector(self.rcfg.h_patch_size)
+
+    # -- helpers ------------------------------------------------------------
+
+    def udf_fn(self, params: Params):
+        ucfg = self.cfg.udf_network
+        return lambda pts: fields.distance_value(params["udf"], pts, ucfg)[:, 0]
+
+    def n_fg_samples(self) -> int:
+        r = self.rcfg
+        if r.n_importance <= 0:
+            return r.n_samples
+        if r.upsampling_type == "classical":
+            return r.n_samples + (r.n_importance // r.up_sample_steps) * r.up_sample_steps
+        return mix_total_samples(r.n_samples, r.n_importance, r.up_sample_steps)
+
+    # -- background (NeRF++) -------------------------------------------------
+
+    def render_core_outside(
+        self, params: Params, rays_o, rays_d, z_vals, sample_dist, background_rgb=None
+    ):
+        """Inverse-sphere background pass (ref: udf_renderer_blending.py:161-195)."""
+        batch, n = z_vals.shape
+        dists = _dists_with_tail(z_vals, sample_dist)
+        mid_z = z_vals + dists * 0.5
+        pts = _ray_points(rays_o, rays_d, mid_z)  # [B, n, 3]
+        if self.rcfg.n_outside > 0:
+            dist_to_center = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
+            pts = jnp.concatenate([pts / dist_to_center, 1.0 / dist_to_center], axis=-1)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (batch, n, 3))
+        raw, sampled_color = fields.background_nerf_apply(
+            params["nerf"], pts.reshape(batch * n, -1), dirs.reshape(batch * n, 3), self.cfg.nerf
+        )
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(raw.reshape(batch, n)) * dists)
+        weights = transmittance_weights(alpha)
+        sampled_color = sampled_color.reshape(batch, n, 3)
+        color = jnp.sum(weights[:, :, None] * sampled_color, axis=1)
+        if background_rgb is not None:
+            color = color + background_rgb * (1.0 - weights.sum(-1, keepdims=True))
+        return {"color": color, "sampled_color": sampled_color, "alpha": alpha, "weights": weights}
+
+    # -- core ----------------------------------------------------------------
+
+    def render_core(
+        self,
+        params: Params,
+        rays_o,
+        rays_d,
+        z_vals,
+        sample_dist,
+        *,
+        cos_anneal_ratio=None,
+        background_rgb=None,
+        background_alpha=None,
+        background_sampled_color=None,
+        flip_saturation=0.0,
+        blending: Optional[Dict[str, Any]] = None,
+        opts: RenderOptions = RenderOptions(),
+    ) -> Dict[str, Any]:
+        """Foreground pass (ref: udf_renderer_blending.py:327-584)."""
+        rcfg = self.rcfg
+        batch, n = z_vals.shape
+        dists = _dists_with_tail(z_vals, sample_dist)
+        mid_z = z_vals + dists * 0.5
+        pts = _ray_points(rays_o, rays_d, mid_z).reshape(-1, 3)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (batch, n, 3)).reshape(-1, 3)
+
+        udf_col, feature, gradients = fields.distance_value_and_gradient(
+            params["udf"], pts, self.cfg.udf_network
+        )  # [BN,1], [BN,F], [BN,3]
+        udf = udf_col  # [BN, 1]
+
+        grad_mag = jnp.linalg.norm(gradients, axis=-1, keepdims=True)
+        grad_norm = gradients / (grad_mag + 1e-5)
+
+        inv_s = jnp.clip(fields.variance_inv_s(params["variance"]), 1e-6, 1e6)  # [1]
+        beta = jnp.clip(
+            fields.beta_value(params["beta"], self.cfg.beta_network.beta_min), 1e-6, 1e6
+        )
+        gamma = jnp.clip(fields.gamma_value(params["beta"]), 1e-6, 1e6)
+
+        if rcfg.use_norm_grad_for_cosine:
+            true_cos = jnp.sum(dirs * grad_norm, axis=-1, keepdims=True)
+        else:
+            true_cos = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
+
+        cos = jax.lax.stop_gradient(jnp.sum(dirs * grad_norm, axis=-1, keepdims=True))
+        flip_sign = -jnp.sign(cos)
+        flip_sign = jnp.where(flip_sign == 0, 1.0, flip_sign)  # [BN,1]
+
+        # occlusion probability along the ray
+        raw_occ = udf2logistic(udf, beta, 1.0, 1.0).reshape(batch, n)
+        alpha_occ = 1.0 - jnp.exp(-jax.nn.relu(raw_occ) * gamma * dists)
+
+        # gradient-direction boost delays premature visibility collapse;
+        # shifted one sample forward (ref: :400-405)
+        vis_mask = (true_cos < 0.01).astype(z_vals.dtype).reshape(batch, n)
+        vis_mask = jnp.concatenate([vis_mask[:, 1:], jnp.ones((batch, 1), z_vals.dtype)], -1)
+
+        factor = jnp.clip(1.0 - alpha_occ + flip_saturation * vis_mask, 0.0, 1.0) + 1e-7
+        vis_prob = jnp.cumprod(
+            jnp.concatenate([jnp.ones((batch, 1), z_vals.dtype), factor], -1), -1
+        )[:, :-1]
+        vis_prob = jnp.clip(vis_prob, 0.0, 1.0)
+
+        neg_abs_cos = -jnp.abs(true_cos)
+        alpha_plus = sdf2alpha(
+            udf, neg_abs_cos, dists.reshape(-1, 1), inv_s, cos_anneal_ratio,
+            sdf2alpha_type=rcfg.sdf2alpha_type,
+        ).reshape(batch, n)
+        alpha_minus = sdf2alpha(
+            -udf, neg_abs_cos, dists.reshape(-1, 1), inv_s, cos_anneal_ratio,
+            sdf2alpha_type=rcfg.sdf2alpha_type,
+        ).reshape(batch, n)
+        alpha = alpha_plus * vis_prob + alpha_minus * (1.0 - vis_prob)
+
+        udf_2d = udf.reshape(batch, n)
+
+        color_base, color_s, blending_logits = fields.residual_color_apply(
+            params["color"], pts, grad_norm, dirs, feature, self.cfg.rendering_network
+        )
+        sampled_color_base = color_base.reshape(batch, n, 3)
+        sampled_color = color_s.reshape(batch, n, 3)
+        blending_logits = blending_logits.reshape(batch, n, -1)
+
+        # ------- pixel / patch blending (SparseNeuS-style) -----------------
+        sampled_color_pixel = None
+        sampled_color_patch = None
+        sampled_color_patch_mask = None
+        if blending is not None and (opts.pixel_blending or opts.patch_blending):
+            pts3 = pts.reshape(batch, n, 3)
+            pix_color = pix_mask = patch_color = patch_mask = None
+            if opts.pixel_blending:
+                pix_color, pix_mask = self.projector.pixel_warp(
+                    pts3, blending["color_maps"], blending["intrinsics"], blending["w2cs"]
+                )
+            if opts.patch_blending:
+                normals_w = (flip_sign * grad_norm).reshape(batch, n, 3)
+                patch_color, patch_mask = self.projector.patch_warp(
+                    pts3,
+                    blending["rays_uv"],
+                    normals_w,
+                    blending["color_maps"],
+                    blending["intrinsics"][0],
+                    blending["intrinsics"],
+                    blending["query_c2w"],
+                    jnp.linalg.inv(blending["w2cs"]),
+                    detach_normal=True,
+                )
+            pix_c, _pix_m, patch_c, patch_m = fields.color_blend(
+                blending_logits,
+                img_index=blending.get("img_index"),
+                pts_pixel_color=pix_color,
+                pts_pixel_mask=pix_mask,
+                pts_patch_color=patch_color,
+                pts_patch_mask=patch_mask,
+            )
+            if opts.pixel_blending:
+                sampled_color_pixel = pix_c  # [B, n, 3]
+            if opts.patch_blending:
+                sampled_color_patch = patch_c  # [B, n, Npx, 3]
+                sampled_color_patch_mask = patch_m[..., 0]  # [B, n]
+
+        # ------- eikonal terms ----------------------------------------------
+        pts_norm = jnp.linalg.norm(pts, axis=-1).reshape(batch, n)
+        inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(z_vals.dtype))
+        relax_inside = jax.lax.stop_gradient((pts_norm < 1.2).astype(z_vals.dtype))
+        near_surface = jax.lax.stop_gradient((udf_2d < 0.05).astype(z_vals.dtype))
+
+        # ------- compose with background -------------------------------------
+        n_fg = n
+        if background_alpha is not None:
+            alpha = jnp.concatenate([alpha, background_alpha[:, n_fg:]], axis=-1)
+            sampled_color_base = jnp.concatenate(
+                [sampled_color_base, background_sampled_color[:, n_fg:]], axis=1
+            )
+            sampled_color = jnp.concatenate(
+                [sampled_color, background_sampled_color[:, n_fg:]], axis=1
+            )
+            if sampled_color_pixel is not None:
+                scp = sampled_color_pixel * inside_sphere[:, :, None] + \
+                    background_sampled_color[:, :n_fg] * (1.0 - inside_sphere)[:, :, None]
+                sampled_color_pixel = jnp.concatenate(
+                    [scp, background_sampled_color[:, n_fg:]], axis=1
+                )
+
+        weights = transmittance_weights(alpha)
+        weights_sum = weights.sum(-1, keepdims=True)
+
+        color_base_out = jnp.sum(sampled_color_base * weights[:, :, None], axis=1)
+        color_out = jnp.sum(sampled_color * weights[:, :, None], axis=1)
+
+        color_pixel = None
+        if sampled_color_pixel is not None:
+            color_pixel = jnp.sum(sampled_color_pixel * weights[:, :, None], axis=1)
+
+        fused_patch_colors = fused_patch_mask = None
+        if sampled_color_patch is not None:
+            fused_patch_colors = jnp.sum(
+                sampled_color_patch * weights[:, :n_fg, None, None], axis=1
+            )  # [B, Npx, 3]
+            fused_patch_mask = jnp.sum(
+                sampled_color_patch_mask.astype(weights.dtype) * weights[:, :n_fg], axis=1
+            )  # [B]
+
+        depth = jnp.sum(mid_z * weights[:, :n_fg], axis=-1, keepdims=True)
+        if background_rgb is not None:
+            color_out = color_out + background_rgb * (1.0 - weights_sum)
+
+        grad_err_all = (jnp.linalg.norm(gradients.reshape(batch, n, 3), axis=-1) - 1.0) ** 2
+        gradient_error = jnp.sum(relax_inside * grad_err_all) / (jnp.sum(relax_inside) + 1e-5)
+        gradient_error_near_surface = jnp.sum(near_surface * grad_err_all) / (
+            jnp.sum(near_surface) + 1e-5
+        )
+
+        gradients3 = gradients.reshape(batch, n, 3)
+        gradients_flip = flip_sign.reshape(batch, n, 1) * gradients3
+
+        sparse_error = jnp.mean(
+            jnp.sum(jnp.exp(-rcfg.sparse_scale_factor * udf_2d), axis=1)
+        )
+
+        return {
+            "color_base": color_base_out,
+            "color": color_out,
+            "color_pixel": color_pixel,
+            "patch_colors": fused_patch_colors,
+            "patch_mask": fused_patch_mask,
+            "weights": weights,
+            "s_val": 1.0 / inv_s,
+            "beta": 1.0 / beta,
+            "gamma": gamma,
+            "depth": depth,
+            "gradient_error": gradient_error,
+            "gradient_error_near_surface": gradient_error_near_surface,
+            "normals": jnp.sum(gradients_flip * weights[:, :n_fg, None], axis=1),
+            "gradients": gradients3,
+            "gradients_flip": gradients_flip,
+            "inside_sphere": inside_sphere,
+            "udf": udf_2d,
+            "gradient_mag": grad_mag.reshape(batch, n),
+            "true_cos": true_cos.reshape(batch, n),
+            "vis_prob": vis_prob,
+            "alpha": alpha[:, :n_fg],
+            "alpha_plus": alpha_plus[:, :n_fg],
+            "alpha_minus": alpha_minus[:, :n_fg],
+            "mid_z_vals": mid_z,
+            "dists": dists,
+            "sparse_error": sparse_error,
+            "alpha_occ": alpha_occ,
+            "raw_occ": raw_occ,
+        }
+
+    # -- public entry ----------------------------------------------------------
+
+    def render(
+        self,
+        params: Params,
+        rays_o,
+        rays_d,
+        near,
+        far,
+        *,
+        key: Optional[jax.Array] = None,
+        cos_anneal_ratio=None,
+        flip_saturation=0.0,
+        background_rgb=None,
+        blending: Optional[Dict[str, Any]] = None,
+        opts: RenderOptions = RenderOptions(),
+    ) -> Dict[str, Any]:
+        """Full forward (ref: udf_renderer_blending.py:586-721).
+
+        near/far: [B,1]. All sampling counts are static; `opts` switches
+        are trace-time constants.
+        """
+        rcfg = self.rcfg
+        batch = rays_o.shape[0]
+        dtype = rays_o.dtype
+        near = jnp.broadcast_to(jnp.asarray(near, dtype), (batch, 1))
+        far = jnp.broadcast_to(jnp.asarray(far, dtype), (batch, 1))
+
+        sample_dist = jnp.mean((far - near) / rcfg.n_samples)
+        t = jnp.linspace(0.0, 1.0, rcfg.n_samples, dtype=dtype)
+        z_vals = near + (far - near) * t[None, :]
+
+        z_vals_outside = None
+        if rcfg.n_outside > 0:
+            z_vals_outside = jnp.linspace(
+                1e-3, 1.0 - 1.0 / (rcfg.n_outside + 1.0), rcfg.n_outside, dtype=dtype
+            )
+
+        if opts.perturb and rcfg.perturb > 0:
+            assert key is not None, "perturbed rendering needs an rng key"
+            k1, k2 = jax.random.split(key)
+            t_rand = jax.random.uniform(k1, (batch, 1), dtype) - 0.5
+            z_vals = z_vals + t_rand * 2.0 / rcfg.n_samples
+            if rcfg.n_outside > 0:
+                mids = 0.5 * (z_vals_outside[1:] + z_vals_outside[:-1])
+                upper = jnp.concatenate([mids, z_vals_outside[-1:]])
+                lower = jnp.concatenate([z_vals_outside[:1], mids])
+                t_r = jax.random.uniform(k2, z_vals_outside.shape, dtype)
+                z_vals_outside = lower + (upper - lower) * t_r
+
+        if rcfg.n_outside > 0:
+            z_vals_outside = far / jnp.flip(z_vals_outside, -1)[None, :] + 1.0 / rcfg.n_samples
+
+        udf_fn = self.udf_fn(params)
+        if rcfg.n_importance > 0:
+            if rcfg.upsampling_type == "classical":
+                z_vals = importance_sample_classical(
+                    udf_fn, rays_o, rays_d, z_vals, sample_dist,
+                    n_importance=rcfg.n_importance,
+                    up_sample_steps=rcfg.up_sample_steps,
+                    sdf2alpha_type=rcfg.sdf2alpha_type,
+                )
+            elif rcfg.upsampling_type == "mix":
+                beta = jnp.clip(
+                    fields.beta_value(params["beta"], self.cfg.beta_network.beta_min),
+                    1e-6, 1e6,
+                )
+                gamma = jnp.clip(fields.gamma_value(params["beta"]), 1e-6, 1e6)
+                z_vals = importance_sample_mix(
+                    udf_fn, rays_o, rays_d, z_vals, sample_dist, beta, gamma,
+                    n_importance=rcfg.n_importance,
+                    up_sample_steps=rcfg.up_sample_steps,
+                    sdf2alpha_type=rcfg.sdf2alpha_type,
+                )
+            else:
+                raise ValueError(rcfg.upsampling_type)
+
+        n_fg = z_vals.shape[-1]
+
+        background_alpha = None
+        background_sampled_color = None
+        if rcfg.n_outside > 0:
+            z_feed = jnp.sort(jnp.concatenate([z_vals, z_vals_outside], axis=-1), axis=-1)
+            ret_outside = self.render_core_outside(
+                params, rays_o, rays_d, z_feed, sample_dist, background_rgb
+            )
+            background_alpha = ret_outside["alpha"]
+            background_sampled_color = ret_outside["sampled_color"]
+
+        ret = self.render_core(
+            params, rays_o, rays_d, z_vals, sample_dist,
+            cos_anneal_ratio=cos_anneal_ratio,
+            background_rgb=background_rgb,
+            background_alpha=background_alpha,
+            background_sampled_color=background_sampled_color,
+            flip_saturation=flip_saturation,
+            blending=blending,
+            opts=opts,
+        )
+
+        out = dict(ret)
+        out["variance"] = ret["s_val"]
+        out["weight_sum"] = ret["weights"][:, :n_fg].sum(-1, keepdims=True)
+        out["weight_sum_fg_bg"] = ret["weights"].sum(-1, keepdims=True)
+        out["z_vals"] = z_vals
+
+        # iso-surface regulariser on uniform random points
+        # (ref: udf_renderer_blending.py:681-686 — returned, unused in loss)
+        if opts.compute_random_sparse:
+            assert key is not None
+            k3 = jax.random.fold_in(key, 17)
+            pts_random = jax.random.uniform(k3, (1024, 3), dtype) * 2.0 - 1.0
+            udf_random = fields.distance_value(params["udf"], pts_random, self.cfg.udf_network)
+            m = (udf_random < 0.01).astype(dtype)
+            cnt = m.sum()
+            masked_mean = jnp.sum(
+                jnp.exp(-rcfg.sparse_scale_factor * udf_random) * m
+            ) / jnp.maximum(cnt, 1.0)
+            out["sparse_random_error"] = jnp.where(cnt > 10, masked_mean, 0.0)
+        else:
+            out["sparse_random_error"] = jnp.zeros((), dtype)
+        return out
