@@ -1,0 +1,102 @@
+"""Benchmark: full DTU-config training-step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is training rays/sec/chip on the flagship DTU configuration
+(512 rays/iter, 64+50 samples, 32 background samples, eikonal double
+backprop, Adam) over a synthetic sphere scene — the reference publishes no
+throughput numbers (SURVEY.md §6), so vs_baseline is measured against an
+estimated 2560 rays/s for the reference PyTorch repo on one GPU
+(300k iters x 512 rays in ~17h ≈ 5 it/s, typical for NeuS-family repos).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 2560.0  # estimated; see module docstring
+
+WARMUP = 5
+ITERS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from neuraludf_tpu import config as config_mod
+    from neuraludf_tpu.data.dataset import Dataset
+    from neuraludf_tpu.data.synthetic import generate_scene
+    from neuraludf_tpu.render.renderer import UDFRenderer
+    from neuraludf_tpu.train.optim import init_adam_state
+    from neuraludf_tpu.train.runner import init_params
+    from neuraludf_tpu.train.schedules import compute_step_schedules
+    from neuraludf_tpu.train.step import build_train_step
+
+    scene_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench", "sphere")
+    if not os.path.exists(os.path.join(scene_dir, "cameras.npz")):
+        generate_scene(scene_dir, kind="sphere", n_views=16, H=600, W=800, focal=900.0)
+
+    cfg = config_mod.load(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "confs", "synthetic_smoke.conf"),
+        case="sphere",
+    )
+    # flagship shapes: DTU stage-1 (512 rays, 64+50+32 samples) — already in conf
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, data_dir=scene_dir)
+    )
+
+    dataset = Dataset(cfg.dataset)
+    renderer = UDFRenderer(cfg.model)
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, cfg)
+    opt_state = init_adam_state(params)
+    step = build_train_step(cfg, renderer, blending=False)
+
+    s = compute_step_schedules(
+        1000, cfg.train,
+        cfg.color_loss.color_base_weight, cfg.color_loss.color_weight,
+        cfg.color_loss.color_pixel_weight, cfg.color_loss.color_patch_weight,
+        is_finetune=False, reg_weights_schedule=False, same_lr=False,
+        beta_trainable=True, variance_trainable=True,
+    )
+    sched = dict(s.__dict__)
+
+    def run_one(i):
+        nonlocal params, opt_state
+        params, opt_state, metrics = step(
+            params, opt_state, dataset.scene, dataset.ref_src_pairs,
+            jnp.asarray(i % dataset.n_images), jax.random.PRNGKey(i), sched,
+        )
+        return metrics
+
+    for i in range(WARMUP):
+        m = run_one(i)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.time()
+    for i in range(ITERS):
+        m = run_one(WARMUP + i)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / ITERS
+
+    rays_per_sec = cfg.train.batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip_dtu512",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

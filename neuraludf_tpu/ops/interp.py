@@ -11,15 +11,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def grid_sample_2d(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_2d(image: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
     """Sample `image` [C, H, W] at `grid` [..., 2] of (x, y) in [-1, 1].
 
-    Returns [..., C]. align_corners=True, zeros padding: out-of-bounds
-    bilinear corners contribute zero.
+    Returns [..., C]. Zeros padding: out-of-bounds bilinear corners
+    contribute zero.
     """
     C, H, W = image.shape
-    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
-    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    if align_corners:
+        x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+        y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((grid[..., 0] + 1.0) * W - 1.0) * 0.5
+        y = ((grid[..., 1] + 1.0) * H - 1.0) * 0.5
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)

@@ -1,0 +1,505 @@
+"""Experiment runner: training loop, validation, checkpointing, mesh export.
+
+Mirrors the reference Runner's behavior (ref: exp_runner_blending.py:32-916)
+with a TPU-native split: the per-iteration hot path is one jitted XLA
+program (see step.py); the host computes schedules, drives the state
+machine for beta/variance trainability, logs, and periodically renders
+validation images / extracts meshes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import Dataset, near_far_from_sphere
+from ..nets import fields
+from ..render.renderer import RenderOptions, UDFRenderer
+from . import schedules as sched_mod
+from .optim import init_adam_state
+from .step import build_train_step
+
+log = logging.getLogger(__name__)
+
+
+def init_params(key: jax.Array, cfg: Config) -> Dict[str, Any]:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "udf": fields.init_distance_field(k1, cfg.model.udf_network),
+        "color": fields.init_residual_color(k2, cfg.model.rendering_network),
+        "nerf": fields.init_background_nerf(k3, cfg.model.nerf),
+        "variance": fields.init_variance(cfg.model.variance_network),
+        "beta": fields.init_beta(cfg.model.beta_network),
+    }
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: Config,
+        mode: str = "train",
+        *,
+        is_continue: bool = False,
+        is_finetune: bool = False,
+        reg_weights_schedule: bool = False,
+        vis_ray: bool = False,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.mode = mode
+        self.is_finetune = is_finetune
+        self.reg_weights_schedule = reg_weights_schedule
+        self.vis_ray = vis_ray
+
+        self.base_exp_dir = os.path.join(cfg.general.base_exp_dir, cfg.general.expname)
+        os.makedirs(self.base_exp_dir, exist_ok=True)
+
+        self.dataset = Dataset(cfg.dataset)
+        self.renderer = UDFRenderer(cfg.model)
+
+        self.iter_step = 0
+        self.end_iter = cfg.train.end_iter
+
+        key = jax.random.PRNGKey(seed)
+        self.rng, init_key = jax.random.split(key)
+        self.params = init_params(init_key, cfg)
+        self.opt_state = init_adam_state(self.params)
+
+        # runtime trainability state machine (ref: exp_runner:353-359)
+        self.beta_trainable = cfg.model.beta_network.requires_grad_beta
+        self.variance_trainable = cfg.model.variance_network.requires_grad
+        self._beta_flag = True
+
+        self._train_step = None
+        self._step_blending = None
+        self.writer = None
+
+        if is_continue:
+            latest = self._latest_checkpoint()
+            if latest is not None:
+                self.load_checkpoint(latest)
+
+    # ------------------------------------------------------------------
+    # checkpointing (ref: exp_runner_blending.py:467-498)
+    # ------------------------------------------------------------------
+
+    def _ckpt_dir(self) -> str:
+        d = os.path.join(self.base_exp_dir, "checkpoints")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _latest_checkpoint(self) -> Optional[str]:
+        d = self._ckpt_dir()
+        names = sorted(n for n in os.listdir(d) if n.endswith(".ckpt"))
+        return os.path.join(d, names[-1]) if names else None
+
+    def save_checkpoint(self):
+        payload = {
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+            "iter_step": self.iter_step,
+            "beta_trainable": self.beta_trainable,
+            "variance_trainable": self.variance_trainable,
+        }
+        path = os.path.join(self._ckpt_dir(), f"ckpt_{self.iter_step:0>6d}.ckpt")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        log.info("saved checkpoint %s", path)
+
+    def load_checkpoint(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.params = to_dev(payload["params"])
+        self.opt_state = to_dev(payload["opt_state"])
+        self.iter_step = int(payload["iter_step"])
+        self.beta_trainable = bool(payload.get("beta_trainable", self.beta_trainable))
+        self.variance_trainable = bool(payload.get("variance_trainable", True))
+        if self.is_finetune:  # finetune restarts the schedule clock (ref: :479-480)
+            self.iter_step = 0
+        log.info("loaded checkpoint %s (iter %d)", path, self.iter_step)
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def _get_step_fn(self, blending: bool):
+        if self._train_step is None or self._step_blending != blending:
+            self._train_step = build_train_step(self.cfg, self.renderer, blending=blending)
+            self._step_blending = blending
+        return self._train_step
+
+    def _schedules(self) -> sched_mod.StepSchedules:
+        c = self.cfg.color_loss
+        return sched_mod.compute_step_schedules(
+            self.iter_step,
+            self.cfg.train,
+            c.color_base_weight, c.color_weight, c.color_pixel_weight, c.color_patch_weight,
+            is_finetune=self.is_finetune,
+            reg_weights_schedule=self.reg_weights_schedule,
+            same_lr=self.cfg.train.same_lr,
+            beta_trainable=self.beta_trainable,
+            variance_trainable=self.variance_trainable,
+        )
+
+    def train(self, report_hook=None):
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(os.path.join(self.base_exp_dir, "logs"))
+        tcfg = self.cfg.train
+        n_img = self.dataset.n_images
+        perm_rng = np.random.RandomState(0)
+        image_perm = perm_rng.permutation(n_img)
+
+        res_step = self.end_iter - self.iter_step
+        t_start = time.time()
+        for _ in range(res_step):
+            s = self._schedules()
+            blending_active = s.color_pixel_weight > 0 or s.color_patch_weight > 0
+            step_fn = self._get_step_fn(blending_active)
+
+            img_idx = int(image_perm[self.iter_step % n_img])
+            self.rng, step_key = jax.random.split(self.rng)
+            sched = dict(s.__dict__)
+            self.params, self.opt_state, metrics = step_fn(
+                self.params, self.opt_state,
+                self.dataset.scene, self.dataset.ref_src_pairs,
+                jnp.asarray(img_idx), step_key, sched,
+            )
+            self.iter_step += 1
+
+            m = {k: float(v) for k, v in metrics.items()}
+
+            # beta/variance trainability state machine (ref: :353-359)
+            if (
+                m["variance"] < 2 * m["beta"]
+                and m["variance"] < 0.01
+                and self._beta_flag
+                and self.variance_trainable
+            ):
+                log.info("make beta trainable (iter %d)", self.iter_step)
+                self.beta_trainable = True
+                self._beta_flag = False
+            if not self.variance_trainable and self.iter_step > 20000:
+                self.variance_trainable = True
+
+            for k in ("loss", "mask_loss", "gradient_error", "variance", "beta", "psnr"):
+                self.writer.add_scalar(f"Loss/{k}" if "loss" in k or "error" in k else f"Sta/{k}",
+                                       m[k], self.iter_step)
+
+            if self.iter_step % tcfg.report_freq == 0:
+                elapsed = time.time() - t_start
+                ips = self.iter_step / max(elapsed, 1e-9) if self.iter_step < res_step else 0
+                log.info(
+                    "iter %d loss=%.4f color=%.4f eik=%.4f psnr=%.2f var=%.5f beta=%.5f "
+                    "ws=%.3f udf_min=%.5f lr=%.2e lr_geo=%.2e (%.1f it/s)",
+                    self.iter_step, m["loss"], m["color_total_loss"], m["gradient_error"],
+                    m["psnr"], m["variance"], m["beta"], m["weight_sum"], m["udf_min"],
+                    s.lr_main, s.lr_geo, ips,
+                )
+                if report_hook:
+                    report_hook(self.iter_step, m)
+
+            if self.iter_step % tcfg.save_freq == 0:
+                self.save_checkpoint()
+            if self.iter_step % tcfg.val_freq == 0:
+                try:
+                    self.validate()
+                except Exception as e:  # validation must not kill training
+                    log.warning("validate failed: %s", e)
+            if self.iter_step % tcfg.val_mesh_freq == 0:
+                try:
+                    self.validate_mesh()
+                    self.extract_udf_mesh(world_space=True, dist_threshold_ratio=2.0)
+                except Exception as e:
+                    log.warning("mesh extraction failed: %s", e)
+
+            if self.iter_step % n_img == 0:
+                image_perm = perm_rng.permutation(n_img)
+
+    # ------------------------------------------------------------------
+    # validation rendering (ref: exp_runner_blending.py:604-719)
+    # ------------------------------------------------------------------
+
+    def _render_chunk_fn(self):
+        opts = RenderOptions(
+            perturb=self.cfg.model.udf_renderer.perturb > 0, compute_random_sparse=False
+        )
+
+        @jax.jit
+        def render_chunk(params, rays_o, rays_d, near, far, key, cos_anneal):
+            return self.renderer.render(
+                params, rays_o, rays_d, near, far, key=key,
+                cos_anneal_ratio=cos_anneal, flip_saturation=1.0,
+                background_rgb=jnp.ones((1, 3)) if self.cfg.train.use_white_bkgd else None,
+                opts=opts,
+            )
+
+        return render_chunk
+
+    def validate(self, idx: int = -1, resolution_level: int = -1, only_color: bool = False):
+        import cv2 as cv
+
+        if idx < 0:
+            idx = int(np.random.randint(self.dataset.n_images))
+        if resolution_level < 0:
+            resolution_level = self.cfg.train.validate_resolution_level
+
+        rays_o, rays_d = self.dataset.gen_rays_at(idx, resolution_level)
+        H, W, _ = rays_o.shape
+        rays_o = np.asarray(rays_o).reshape(-1, 3)
+        rays_d = np.asarray(rays_d).reshape(-1, 3)
+
+        if not hasattr(self, "_render_chunk"):
+            self._render_chunk = self._render_chunk_fn()
+
+        bs = self.cfg.train.batch_size
+        n = rays_o.shape[0]
+        pad = (-n) % bs
+        rays_o_p = np.concatenate([rays_o, np.zeros((pad, 3), np.float32)])
+        rays_d_p = np.concatenate([rays_d, np.ones((pad, 3), np.float32)])
+
+        cos_anneal = sched_mod.cos_anneal_ratio(self.iter_step, self.cfg.train)
+        out_rgb, out_normal, out_depth = [], [], []
+        for i in range(0, n + pad, bs):
+            ro = jnp.asarray(rays_o_p[i : i + bs])
+            rd = jnp.asarray(rays_d_p[i : i + bs])
+            near, far = near_far_from_sphere(ro, rd)
+            self.rng, k = jax.random.split(self.rng)
+            ret = self._render_chunk(self.params, ro, rd, near, far, k, cos_anneal)
+            out_rgb.append(np.asarray(ret["color"]))
+            out_depth.append(np.asarray(ret["depth"]))
+            n_fg = self.renderer.n_fg_samples()
+            normals = np.asarray(
+                jnp.sum(
+                    ret["gradients_flip"]
+                    * ret["weights"][:, :n_fg, None]
+                    * ret["inside_sphere"][..., None],
+                    axis=1,
+                )
+            )
+            out_normal.append(normals)
+
+        img_fine = (np.concatenate(out_rgb)[:n].reshape(H, W, 3) * 256).clip(0, 255)
+        normal_img = np.concatenate(out_normal)[:n]
+        rot = np.linalg.inv(np.asarray(self.dataset.scene["poses"][idx, :3, :3]))
+        normal_img = (
+            (rot[None] @ normal_img[:, :, None]).reshape(H, W, 3) * 128 + 128
+        ).clip(0, 255)
+        pred_depth = np.concatenate(out_depth)[:n].reshape(H, W)
+
+        os.makedirs(os.path.join(self.base_exp_dir, "validations_fine"), exist_ok=True)
+        os.makedirs(os.path.join(self.base_exp_dir, "normals"), exist_ok=True)
+        os.makedirs(os.path.join(self.base_exp_dir, "depth"), exist_ok=True)
+
+        if only_color:
+            out = os.path.join(self.base_exp_dir, "novel_view")
+            os.makedirs(out, exist_ok=True)
+            cv.imwrite(os.path.join(out, f"pred_{idx}.png"), img_fine)
+            cv.imwrite(
+                os.path.join(out, f"gt_{idx}.png"),
+                self.dataset.image_at(idx, resolution_level),
+            )
+            return
+
+        gt = self.dataset.image_at(idx, resolution_level)
+        cv.imwrite(
+            os.path.join(self.base_exp_dir, "validations_fine", f"{self.iter_step:0>8d}_{idx}.png"),
+            np.concatenate([img_fine, gt]),
+        )
+        cv.imwrite(
+            os.path.join(self.base_exp_dir, "normals", f"{self.iter_step:0>8d}_{idx}.png"),
+            normal_img[:, :, ::-1],
+        )
+        depth_vis = colorize_depth(pred_depth)
+        cv.imwrite(
+            os.path.join(self.base_exp_dir, "depth", f"{self.iter_step:0>8d}_{idx}.png"),
+            depth_vis[:, :, ::-1],
+        )
+
+    def validate_novel_image(self, idx_0: int, idx_1: int, ratio: float, out_idx: int,
+                             resolution_level: int = 4):
+        """Novel-view synthesis between two poses (ref: exp_runner:721-744)."""
+        import cv2 as cv
+
+        rays_o, rays_d = self.dataset.gen_rays_between(idx_0, idx_1, ratio, resolution_level)
+        H, W, _ = rays_o.shape
+        rays_o = np.asarray(rays_o).reshape(-1, 3)
+        rays_d = np.asarray(rays_d).reshape(-1, 3)
+        if not hasattr(self, "_render_chunk"):
+            self._render_chunk = self._render_chunk_fn()
+        bs = self.cfg.train.batch_size
+        n = rays_o.shape[0]
+        pad = (-n) % bs
+        rays_o = np.concatenate([rays_o, np.zeros((pad, 3), np.float32)])
+        rays_d = np.concatenate([rays_d, np.ones((pad, 3), np.float32)])
+        out_rgb = []
+        for i in range(0, n + pad, bs):
+            ro, rd = jnp.asarray(rays_o[i : i + bs]), jnp.asarray(rays_d[i : i + bs])
+            near, far = near_far_from_sphere(ro, rd)
+            self.rng, k = jax.random.split(self.rng)
+            ret = self._render_chunk(self.params, ro, rd, near, far, k, 1.0)
+            out_rgb.append(np.asarray(ret["color"]))
+        img = (np.concatenate(out_rgb)[:n].reshape(H, W, 3) * 256).clip(0, 255)
+        out = os.path.join(self.base_exp_dir, "render")
+        os.makedirs(out, exist_ok=True)
+        cv.imwrite(os.path.join(out, f"{out_idx}.png"), img)
+
+    # ------------------------------------------------------------------
+    # mesh extraction (delegates to the mesh subsystem)
+    # ------------------------------------------------------------------
+
+    def validate_mesh(self, world_space: bool = True, resolution: int = 256, threshold: float = 0.005):
+        """Vanilla marching cubes on the raw UDF grid (ref: exp_runner:746-761)."""
+        from ..mesh import grid as mesh_grid
+        from ..mesh import mc as mesh_mc
+        from ..mesh.ply import export_ply
+
+        bound_min = np.asarray(self.dataset.object_bbox_min, np.float32)
+        bound_max = np.asarray(self.dataset.object_bbox_max, np.float32)
+        u = mesh_grid.extract_fields(
+            self.params, self.cfg.model.udf_network, bound_min, bound_max, resolution
+        )
+        verts, faces = mesh_mc.marching_cubes_classic(u, threshold)
+        verts = verts / (resolution - 1.0) * (bound_max - bound_min)[None] + bound_min[None]
+        if world_space:
+            sm = self.dataset.scale_mats_np[0]
+            verts = verts * sm[0, 0] + sm[:3, 3][None]
+        out = os.path.join(self.base_exp_dir, "meshes")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, f"{self.iter_step:0>8d}_thresh{threshold:.4f}_res{resolution}.ply")
+        export_ply(path, verts, faces)
+        return path
+
+    def extract_udf_mesh(self, world_space: bool = False, resolution: int = 256,
+                         dist_threshold_ratio: float = 1.0):
+        """MeshUDF gradient-aware extraction (ref: exp_runner:763-800)."""
+        from ..mesh.meshudf import get_mesh_udf
+
+        verts, faces = get_mesh_udf(
+            self.params, self.cfg.model.udf_network, resolution=resolution,
+            dist_threshold_ratio=dist_threshold_ratio,
+        )
+        if world_space:
+            sm = self.dataset.scale_mats_np[0]
+            verts = verts * sm[0, 0] + sm[:3, 3][None]
+        from ..mesh.ply import export_ply
+
+        out = os.path.join(self.base_exp_dir, "udf_meshes")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, f"udf_res{resolution}_step{self.iter_step}.ply")
+        export_ply(path, verts, faces)
+        return path
+
+    def validate_fields(self, resolution: int = 128):
+        """Dump the UDF grid to .npy (ref: exp_runner:802-817)."""
+        from ..mesh import grid as mesh_grid
+
+        out = os.path.join(self.base_exp_dir, "fields")
+        os.makedirs(out, exist_ok=True)
+        bound_min = np.asarray(self.dataset.object_bbox_min, np.float32)
+        bound_max = np.asarray(self.dataset.object_bbox_max, np.float32)
+        u = mesh_grid.extract_fields(
+            self.params, self.cfg.model.udf_network, bound_min, bound_max, resolution
+        )
+        path = os.path.join(out, f"{self.iter_step:0>8d}_dist.npy")
+        np.save(path, u)
+        return path
+
+    def save_hdf5(self, resolution: int = 128):
+        """Normalized hdf5 dump (ref: exp_runner:819-841)."""
+        import h5py
+
+        from ..mesh import grid as mesh_grid
+
+        bound_min = np.asarray(self.dataset.object_bbox_min, np.float32)
+        bound_max = np.asarray(self.dataset.object_bbox_max, np.float32)
+        u = mesh_grid.extract_fields(
+            self.params, self.cfg.model.udf_network, bound_min, bound_max, resolution + 1
+        )
+        out = os.path.join(self.base_exp_dir, "hdf5")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, "out.hdf5")
+        with h5py.File(path, "w") as f:
+            g = resolution
+            f.create_dataset(f"{g}_sdf", [g + 1, g + 1, g + 1], np.float32, compression=9)
+            f[f"{g}_sdf"][:] = u / u.max() * 0.5
+        return path
+
+    # ------------------------------------------------------------------
+    # ray statistics debugging (ref: exp_runner_blending.py:500-602)
+    # ------------------------------------------------------------------
+
+    def visualize_one_ray(self, img_idx: int, px: int, py: int):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        data = self.dataset.gen_one_ray_at(img_idx, px, py)
+        rays_o, rays_d = data[:, :3], data[:, 3:6]
+        near, far = near_far_from_sphere(rays_o, rays_d)
+        if not hasattr(self, "_render_chunk_one"):
+            opts = RenderOptions(perturb=False, compute_random_sparse=False)
+
+            @jax.jit
+            def one(params, ro, rd, nr, fr, key, ca, fs):
+                return self.renderer.render(
+                    params, ro, rd, nr, fr, key=key, cos_anneal_ratio=ca,
+                    flip_saturation=fs, opts=opts,
+                )
+
+            self._render_chunk_one = one
+        self.rng, k = jax.random.split(self.rng)
+        ret = self._render_chunk_one(
+            self.params, rays_o, rays_d, near, far, k,
+            sched_mod.cos_anneal_ratio(self.iter_step, self.cfg.train),
+            sched_mod.flip_saturation(self.iter_step, self.cfg.train, is_finetune=self.is_finetune),
+        )
+        z_vals = np.asarray(ret["mid_z_vals"][0]) - float(near[0, 0])
+        n_fg = z_vals.shape[0]
+        curves = {
+            "udf values": np.asarray(ret["udf"][0]),
+            "udf normal magnitude": np.asarray(ret["gradient_mag"][0]),
+            "cos(ray, normal)": np.asarray(ret["true_cos"][0]),
+            "weights": np.asarray(ret["weights"][0])[:n_fg],
+            "alpha": np.asarray(ret["alpha"][0]),
+            "vis_prob": np.asarray(ret["vis_prob"][0]),
+            "alpha_plus": np.asarray(ret["alpha_plus"][0]),
+            "alpha_minus": np.asarray(ret["alpha_minus"][0]),
+            "alpha_occ": np.asarray(ret["alpha_occ"][0]),
+            "raw_occ": np.asarray(ret["raw_occ"][0]),
+        }
+        fig, axs = plt.subplots(len(curves), 1, figsize=(10, 42))
+        for ax, (name, ys) in zip(axs, curves.items()):
+            ax.title.set_text(name)
+            ax.plot(z_vals[: len(ys)], ys, marker="o")
+        save_dir = os.path.join(self.base_exp_dir, "ray_statis", f"step{self.iter_step}")
+        os.makedirs(save_dir, exist_ok=True)
+        fig_path = os.path.join(save_dir, f"statis_px{px}_py{py}.png")
+        plt.savefig(fig_path)
+        plt.close(fig)
+        np.save(
+            os.path.join(save_dir, f"statis_px{px}_py{py}.npy"),
+            {"z_vals": z_vals, "udf": curves["udf values"], "cos": curves["cos(ray, normal)"]},
+        )
+        return fig_path
+
+
+def colorize_depth(value: np.ndarray, vmin=None, vmax=None, cmap="plasma") -> np.ndarray:
+    """(ref: exp_runner_blending.py:847-865)"""
+    import matplotlib
+
+    vmin = value.min() if vmin is None else vmin
+    vmax = value.max() if vmax is None else vmax
+    value = (value - vmin) / (vmax - vmin) if vmin != vmax else value * 0.0
+    cmapper = matplotlib.colormaps[cmap]
+    return cmapper(value, bytes=True)[:, :, :3]
