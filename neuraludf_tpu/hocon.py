@@ -49,6 +49,24 @@ def _parse_list(text: str) -> List[Any]:
     return [_coerce(t) for t in items if t.strip()]
 
 
+def _split_top_level(text: str) -> List[str]:
+    """Split on commas that are not inside brackets."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return [p for p in parts if p.strip()]
+
+
 def parse_string(text: str) -> Dict[str, Any]:
     """Parse HOCON-subset text into a nested dict."""
     root: Dict[str, Any] = {}
@@ -62,6 +80,18 @@ def parse_string(text: str) -> Dict[str, Any]:
             continue
         if line == "}":
             stack.pop()
+            continue
+        # inline section:  name { k = v, k2 = v2, ... }
+        m = re.match(r"^([\w.\-]+)\s*\{(.*)\}\s*$", line)
+        if m:
+            sec = {}
+            for part in _split_top_level(m.group(2)):
+                km = re.match(r"^([\w.\-]+)\s*=\s*(.*)$", part.strip())
+                if not km:
+                    raise ValueError(f"hocon: bad inline entry {part!r}")
+                val = km.group(2).strip()
+                sec[km.group(1)] = _parse_list(val) if val.startswith("[") else _coerce(val)
+            stack[-1][m.group(1)] = sec
             continue
         # section start:  name {
         m = re.match(r"^([\w.\-]+)\s*\{\s*$", line)

@@ -159,6 +159,25 @@ class Runner:
         perm_rng = np.random.RandomState(0)
         image_perm = perm_rng.permutation(n_img)
 
+        # Device->host readbacks are high-latency on the TPU tunnel, so
+        # metrics are stacked on device and flushed in one batched transfer
+        # every `sync_freq` iters (the reference logs every iter; the
+        # beta/variance state machine is checked at flush time — at most
+        # sync_freq iters late, immaterial over a 300k-iter schedule).
+        sync_freq = max(1, min(tcfg.report_freq, 10))
+        pending: list = []  # (iter, metric-vector device array)
+        metric_keys: list = []
+
+        def flush(t_start):
+            if not pending:
+                return
+            iters, vecs = zip(*pending)
+            pending.clear()
+            mat = np.asarray(jnp.stack(vecs))  # one transfer
+            for it, row in zip(iters, mat):
+                m = dict(zip(metric_keys, row.tolist()))
+                self._post_step_host(it, m, t_start, report_hook)
+
         res_step = self.end_iter - self.iter_step
         t_start = time.time()
         for _ in range(res_step):
@@ -176,37 +195,13 @@ class Runner:
             )
             self.iter_step += 1
 
-            m = {k: float(v) for k, v in metrics.items()}
-
-            # beta/variance trainability state machine (ref: :353-359)
-            if (
-                m["variance"] < 2 * m["beta"]
-                and m["variance"] < 0.01
-                and self._beta_flag
-                and self.variance_trainable
-            ):
-                log.info("make beta trainable (iter %d)", self.iter_step)
-                self.beta_trainable = True
-                self._beta_flag = False
-            if not self.variance_trainable and self.iter_step > 20000:
-                self.variance_trainable = True
-
-            for k in ("loss", "mask_loss", "gradient_error", "variance", "beta", "psnr"):
-                self.writer.add_scalar(f"Loss/{k}" if "loss" in k or "error" in k else f"Sta/{k}",
-                                       m[k], self.iter_step)
-
-            if self.iter_step % tcfg.report_freq == 0:
-                elapsed = time.time() - t_start
-                ips = self.iter_step / max(elapsed, 1e-9) if self.iter_step < res_step else 0
-                log.info(
-                    "iter %d loss=%.4f color=%.4f eik=%.4f psnr=%.2f var=%.5f beta=%.5f "
-                    "ws=%.3f udf_min=%.5f lr=%.2e lr_geo=%.2e (%.1f it/s)",
-                    self.iter_step, m["loss"], m["color_total_loss"], m["gradient_error"],
-                    m["psnr"], m["variance"], m["beta"], m["weight_sum"], m["udf_min"],
-                    s.lr_main, s.lr_geo, ips,
-                )
-                if report_hook:
-                    report_hook(self.iter_step, m)
+            if not metric_keys:
+                metric_keys.extend(sorted(metrics.keys()))
+            pending.append(
+                (self.iter_step, jnp.stack([metrics[k] for k in metric_keys]))
+            )
+            if self.iter_step % sync_freq == 0:
+                flush(t_start)
 
             if self.iter_step % tcfg.save_freq == 0:
                 self.save_checkpoint()
@@ -224,6 +219,41 @@ class Runner:
 
             if self.iter_step % n_img == 0:
                 image_perm = perm_rng.permutation(n_img)
+
+        flush(t_start)
+
+    def _post_step_host(self, it: int, m: Dict[str, float], t_start: float, report_hook):
+        """Host-side per-iter bookkeeping, applied at metric-flush time."""
+        tcfg = self.cfg.train
+        # beta/variance trainability state machine (ref: exp_runner:353-359)
+        if (
+            m["variance"] < 2 * m["beta"]
+            and m["variance"] < 0.01
+            and self._beta_flag
+            and self.variance_trainable
+        ):
+            log.info("make beta trainable (iter %d)", it)
+            self.beta_trainable = True
+            self._beta_flag = False
+        if not self.variance_trainable and it > 20000:
+            self.variance_trainable = True
+
+        for k in ("loss", "mask_loss", "gradient_error", "variance", "beta", "psnr"):
+            self.writer.add_scalar(
+                f"Loss/{k}" if "loss" in k or "error" in k else f"Sta/{k}", m[k], it
+            )
+
+        if it % tcfg.report_freq == 0:
+            elapsed = time.time() - t_start
+            ips = it / max(elapsed, 1e-9)
+            log.info(
+                "iter %d loss=%.4f color=%.4f eik=%.4f psnr=%.2f var=%.5f beta=%.5f "
+                "ws=%.3f udf_min=%.5f (%.1f it/s)",
+                it, m["loss"], m["color_total_loss"], m["gradient_error"],
+                m["psnr"], m["variance"], m["beta"], m["weight_sum"], m["udf_min"], ips,
+            )
+            if report_hook:
+                report_hook(it, m)
 
     # ------------------------------------------------------------------
     # validation rendering (ref: exp_runner_blending.py:604-719)

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Garment stage-1 launcher (ref: bashs/bash_garment_blending.sh).
+usage() { echo "Usage: ${0} [-c|--case] [-s|--sparse_weight] [-lr] [-lr_geo]" 1>&2; exit 1; }
+while [[ $# -gt 0 ]]; do
+  case ${1} in
+    -c|--case) CASE=${2}; shift 2;;
+    -g|--gpu) shift 2;;
+    -s|--sparse_weight) SW=${2}; shift 2;;
+    -lr|--learning_rate) LR=${2}; shift 2;;
+    -lr_geo|--learning_rate_geo) LR_GEO=${2}; shift 2;;
+    *) usage; shift;;
+  esac
+done
+python -m neuraludf_tpu.cli --conf ./confs/udf_garment_blending.conf \
+  --case ${CASE} --threshold 0.005 --resolution 128 --vis_ray --reg_weights_schedule \
+  ${SW:+--sparse_weight ${SW}} ${LR:+--learning_rate ${LR}} ${LR_GEO:+--learning_rate_geo ${LR_GEO}}
