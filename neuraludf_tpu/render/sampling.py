@@ -35,7 +35,12 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int, *, det: 
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # TPU-friendly batched search: the default binary-search lowering is a
+    # sequential scan; with <=150 bins a dense compare-and-count is one
+    # fused VPU pass (side='right' == count of cdf entries <= u)
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
     cdf_b = jnp.take_along_axis(cdf, below, axis=-1)

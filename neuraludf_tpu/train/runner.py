@@ -87,6 +87,31 @@ class Runner:
             if latest is not None:
                 self.load_checkpoint(latest)
 
+        if mode.startswith("train"):
+            self.file_backup()
+
+    def file_backup(self):
+        """Snapshot source .py files + resolved config into the experiment dir
+        (ref: exp_runner_blending.py:449-465)."""
+        import shutil
+
+        rec_dir = os.path.join(self.base_exp_dir, "recording")
+        os.makedirs(rec_dir, exist_ok=True)
+        for dir_name in self.cfg.general.recording:
+            if not os.path.isdir(dir_name):
+                continue
+            # non-recursive, like the reference (one level per listed dir)
+            cur = os.path.join(rec_dir, dir_name)
+            os.makedirs(cur, exist_ok=True)
+            for fname in os.listdir(dir_name):
+                if fname.endswith(".py"):
+                    try:
+                        shutil.copyfile(os.path.join(dir_name, fname), os.path.join(cur, fname))
+                    except OSError:
+                        pass
+        with open(os.path.join(rec_dir, "config.txt"), "w") as f:
+            f.write(repr(self.cfg))
+
     # ------------------------------------------------------------------
     # checkpointing (ref: exp_runner_blending.py:467-498)
     # ------------------------------------------------------------------
