@@ -24,6 +24,10 @@ ITERS = 30
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from neuraludf_tpu.utils import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 
@@ -51,39 +55,52 @@ def main():
         cfg, dataset=dataclasses.replace(cfg.dataset, data_dir=scene_dir)
     )
 
+    from neuraludf_tpu.train.step import build_train_window
+
     dataset = Dataset(cfg.dataset)
     renderer = UDFRenderer(cfg.model)
     key = jax.random.PRNGKey(0)
     params = init_params(key, cfg)
     opt_state = init_adam_state(params)
-    step = build_train_step(cfg, renderer, blending=False)
 
-    s = compute_step_schedules(
-        1000, cfg.train,
-        cfg.color_loss.color_base_weight, cfg.color_loss.color_weight,
-        cfg.color_loss.color_pixel_weight, cfg.color_loss.color_patch_weight,
-        is_finetune=False, reg_weights_schedule=False, same_lr=False,
-        beta_trainable=True, variance_trainable=True,
-    )
-    sched = dict(s.__dict__)
+    # measure the real training path: `window` iterations per dispatch
+    window = 50
+    step = build_train_window(cfg, renderer, blending=False, window=window)
+
+    def sched_rows(start):
+        rows = []
+        for j in range(window):
+            s = compute_step_schedules(
+                start + j, cfg.train,
+                cfg.color_loss.color_base_weight, cfg.color_loss.color_weight,
+                cfg.color_loss.color_pixel_weight, cfg.color_loss.color_patch_weight,
+                is_finetune=False, reg_weights_schedule=False, same_lr=False,
+                beta_trainable=True, variance_trainable=True,
+            )
+            rows.append(dict(s.__dict__))
+        return {k: np.asarray([r[k] for r in rows], np.float32) for k in rows[0]}
 
     def run_one(i):
         nonlocal params, opt_state
-        params, opt_state, metrics = step(
-            params, opt_state, dataset.scene, dataset.ref_src_pairs,
-            jnp.asarray(i % dataset.n_images), jax.random.PRNGKey(i), sched,
+        idxs = jnp.asarray(
+            np.arange(i * window, (i + 1) * window) % dataset.n_images, jnp.int32
         )
-        return metrics
+        params, opt_state, mrows = step(
+            params, opt_state, dataset.scene, dataset.ref_src_pairs,
+            idxs, jax.random.PRNGKey(i), sched_rows(1000 + i * window),
+        )
+        return mrows
 
-    for i in range(WARMUP):
-        m = run_one(i)
-    jax.block_until_ready(m["loss"])
+    m = run_one(0)  # compile + warm
+    np.asarray(m)  # force a real device->host transfer: on the axon relay
+    # backend block_until_ready returns before execution completes
 
+    n_windows = max(1, ITERS // window) * 2
     t0 = time.time()
-    for i in range(ITERS):
-        m = run_one(WARMUP + i)
-    jax.block_until_ready(m["loss"])
-    dt = (time.time() - t0) / ITERS
+    for i in range(1, 1 + n_windows):
+        m = run_one(i)
+        np.asarray(m)
+    dt = (time.time() - t0) / (n_windows * window)
 
     rays_per_sec = cfg.train.batch_size / dt
     print(

@@ -45,6 +45,10 @@ def main(argv=None):
     )
     args = build_parser().parse_args(argv)
 
+    from .utils import setup_jax
+
+    setup_jax()
+
     from . import config as config_mod
     from .train.runner import Runner
 

@@ -29,7 +29,14 @@ from ..config import (
     VarianceConfig,
 )
 from .embedder import embed_dim, positional_encoding
-from .mlp import geometric_linear, linear, softplus100, to_weight_norm, torch_default_linear
+from .mlp import (
+    geometric_linear,
+    linear,
+    policy,
+    softplus100,
+    to_weight_norm,
+    torch_default_linear,
+)
 
 Params = Dict[str, Any]
 
@@ -65,8 +72,15 @@ def init_distance_field(key, cfg: UDFNetworkConfig) -> Params:
     return params
 
 
-def distance_field_apply(params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig) -> jnp.ndarray:
-    """x: [N, 3] -> [N, d_out] = [distance(1), feature(d_out-1)]."""
+def distance_field_apply(
+    params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig, *, role: str = "distance"
+) -> jnp.ndarray:
+    """x: [N, 3] -> [N, d_out] = [distance(1), feature(d_out-1)].
+
+    role selects the matmul precision tier: "distance" (HIGHEST — the
+    differentiated render/eikonal path) or "sampling" (fast — the no-grad
+    upsampling evaluations, which only steer where samples land).
+    """
     inputs = x * cfg.scale
     if cfg.multires > 0:
         inputs = positional_encoding(inputs, cfg.multires)
@@ -76,7 +90,7 @@ def distance_field_apply(params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig) 
     for l in range(num_layers - 1):
         if l in cfg.skip_in:
             h = jnp.concatenate([h, inputs], axis=-1) / np.sqrt(2)
-        h = linear(params[f"lin{l}"], h)
+        h = linear(params[f"lin{l}"], h, precision=policy(role))
         if l < num_layers - 2:
             h = softplus100(h)
     head = h[:, :1]
@@ -88,8 +102,10 @@ def distance_field_apply(params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig) 
     return jnp.concatenate([head / cfg.scale, h[:, 1:]], axis=-1)
 
 
-def distance_value(params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig) -> jnp.ndarray:
-    return distance_field_apply(params, x, cfg)[:, :1]
+def distance_value(
+    params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig, *, role: str = "distance"
+) -> jnp.ndarray:
+    return distance_field_apply(params, x, cfg, role=role)[:, :1]
 
 
 def distance_gradient(params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig) -> jnp.ndarray:
@@ -166,7 +182,7 @@ def residual_color_apply(
     h = base_in
     x_hidden = None
     for l in range(n - 1):
-        h = linear(params["base"][f"lin{l}"], h)
+        h = linear(params["base"][f"lin{l}"], h, precision=policy("color"))
         if l < n - 2:
             h = jax.nn.relu(h)
         if l == n - 3:
@@ -175,7 +191,7 @@ def residual_color_apply(
 
     h = jnp.concatenate([view_dirs, color_base, x_hidden], axis=-1)
     for l in range(n - 1):
-        h = linear(params["main"][f"lin{l}"], h)
+        h = linear(params["main"][f"lin{l}"], h, precision=policy("color"))
         if l < n - 2:
             h = jax.nn.relu(h)
     color = jax.nn.sigmoid(h[:, : cfg.d_out])
@@ -220,16 +236,16 @@ def background_nerf_apply(
         v_in = positional_encoding(views, cfg.multires_view) if cfg.multires_view > 0 else views
     h = h_in
     for i in range(cfg.D):
-        h = jax.nn.relu(linear(params["pts"][f"lin{i}"], h))
+        h = jax.nn.relu(linear(params["pts"][f"lin{i}"], h, precision=policy("nerf")))
         if i in cfg.skips:
             h = jnp.concatenate([h_in, h], axis=-1)
-    alpha = linear(params["alpha"], h)
+    alpha = linear(params["alpha"], h, precision=policy("nerf"))
     if v_in is None:
         return alpha, None
-    feat = linear(params["feature"], h)
+    feat = linear(params["feature"], h, precision=policy("nerf"))
     h = jnp.concatenate([feat, v_in], axis=-1)
-    h = jax.nn.relu(linear(params["views"]["lin0"], h))
-    rgb = linear(params["rgb"], h)
+    h = jax.nn.relu(linear(params["views"]["lin0"], h, precision=policy("nerf")))
+    rgb = linear(params["rgb"], h, precision=policy("nerf"))
     return alpha, rgb
 
 

@@ -25,6 +25,34 @@ import numpy as np
 
 Params = Dict[str, jnp.ndarray]
 
+# Per-network matmul precision policy. The distance field drives surface
+# extraction and the eikonal double backprop — one bf16 MXU pass (~2e-3
+# rel error) visibly degrades it, so it pins HIGHEST (true f32). The
+# radiance networks (color, background NeRF) only shape the photometric
+# loss and tolerate the fast path (~38% step-time saving together).
+# Override globally with NEURALUDF_PRECISION=highest|high|default.
+import os as _os
+
+_NAMES = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+_FORCED = _os.environ.get("NEURALUDF_PRECISION", "").lower() or None
+
+PRECISION_POLICY = {
+    "distance": jax.lax.Precision.HIGHEST,
+    "sampling": jax.lax.Precision.DEFAULT,  # no-grad upsampling evals
+    "color": jax.lax.Precision.DEFAULT,
+    "nerf": jax.lax.Precision.DEFAULT,
+}
+
+
+def policy(role: str):
+    if _FORCED is not None:
+        return _NAMES[_FORCED]
+    return PRECISION_POLICY[role]
+
 
 def torch_default_linear(key, d_in: int, d_out: int, dtype=jnp.float32) -> Params:
     kw, kb = jax.random.split(key)

@@ -62,8 +62,9 @@ class UDFRenderer:
     # -- helpers ------------------------------------------------------------
 
     def udf_fn(self, params: Params):
+        """Sampling-tier distance queries (no-grad upsampling rounds)."""
         ucfg = self.cfg.udf_network
-        return lambda pts: fields.distance_value(params["udf"], pts, ucfg)[:, 0]
+        return lambda pts: fields.distance_value(params["udf"], pts, ucfg, role="sampling")[:, 0]
 
     def n_fg_samples(self) -> int:
         r = self.rcfg

@@ -162,10 +162,39 @@ class Runner:
             self._step_blending = blending
         return self._train_step
 
+    def _get_window_fn(self, blending: bool, window: int):
+        key = (blending, window)
+        if not hasattr(self, "_window_fns"):
+            self._window_fns = {}
+        if key not in self._window_fns:
+            from .step import build_train_window
+
+            self._window_fns[key] = build_train_window(
+                self.cfg, self.renderer, blending=blending, window=window
+            )
+        return self._window_fns[key]
+
+    def _window_size(self) -> int:
+        """Largest dispatch window dividing every periodic frequency —
+        host↔device round trips amortize over the window."""
+        t = self.cfg.train
+        import math
+
+        g = math.gcd(
+            math.gcd(t.report_freq, t.save_freq), math.gcd(t.val_freq, t.val_mesh_freq)
+        )
+        for k in (50, 40, 25, 20, 10, 8, 5, 4, 2, 1):
+            if g % k == 0:
+                return k
+        return 1
+
     def _schedules(self) -> sched_mod.StepSchedules:
+        return self._schedules_at(self.iter_step)
+
+    def _schedules_at(self, step: int) -> sched_mod.StepSchedules:
         c = self.cfg.color_loss
         return sched_mod.compute_step_schedules(
-            self.iter_step,
+            step,
             self.cfg.train,
             c.color_base_weight, c.color_weight, c.color_pixel_weight, c.color_patch_weight,
             is_finetune=self.is_finetune,
@@ -184,68 +213,105 @@ class Runner:
         perm_rng = np.random.RandomState(0)
         image_perm = perm_rng.permutation(n_img)
 
-        # Device->host readbacks are high-latency on the TPU tunnel, so
-        # metrics are stacked on device and flushed in one batched transfer
-        # every `sync_freq` iters (the reference logs every iter; the
-        # beta/variance state machine is checked at flush time — at most
-        # sync_freq iters late, immaterial over a 300k-iter schedule).
-        sync_freq = max(1, min(tcfg.report_freq, 10))
-        pending: list = []  # (iter, metric-vector device array)
-        metric_keys: list = []
+        # Host↔device round trips are high-latency on the TPU tunnel: the
+        # loop dispatches `window` iterations per call (lax.scan inside one
+        # jitted program; per-iter schedules go in as stacked arrays, all
+        # metrics come back as one [window, M] transfer). The reference
+        # dispatches per iteration from Python; the math is identical. The
+        # beta/variance state machine is checked at window granularity (at
+        # most `window` iters late — immaterial over a 300k-iter schedule).
+        from .step import METRIC_KEYS
 
-        def flush(t_start):
-            if not pending:
-                return
-            iters, vecs = zip(*pending)
-            pending.clear()
-            mat = np.asarray(jnp.stack(vecs))  # one transfer
-            for it, row in zip(iters, mat):
-                m = dict(zip(metric_keys, row.tolist()))
-                self._post_step_host(it, m, t_start, report_hook)
-
+        window = self._window_size()
         res_step = self.end_iter - self.iter_step
         t_start = time.time()
-        for _ in range(res_step):
-            s = self._schedules()
-            blending_active = s.color_pixel_weight > 0 or s.color_patch_weight > 0
-            step_fn = self._get_step_fn(blending_active)
 
-            img_idx = int(image_perm[self.iter_step % n_img])
-            self.rng, step_key = jax.random.split(self.rng)
-            sched = dict(s.__dict__)
-            self.params, self.opt_state, metrics = step_fn(
+        def next_img_indices(k: int) -> np.ndarray:
+            nonlocal image_perm
+            out = np.empty((k,), np.int32)
+            for j in range(k):
+                step = self.iter_step + j
+                out[j] = image_perm[step % n_img]
+                if (step + 1) % n_img == 0:
+                    image_perm = perm_rng.permutation(n_img)
+            return out
+
+        def window_schedules(k: int):
+            rows = [
+                dataclass_dict(self._schedules_at(self.iter_step + j)) for j in range(k)
+            ]
+            first_active = (
+                rows[0]["color_pixel_weight"] > 0 or rows[0]["color_patch_weight"] > 0
+            )
+            last_active = (
+                rows[-1]["color_pixel_weight"] > 0 or rows[-1]["color_patch_weight"] > 0
+            )
+            stacked = {
+                key: np.asarray([r[key] for r in rows], np.float32) for key in rows[0]
+            }
+            return stacked, first_active, last_active
+
+        dataclass_dict = lambda s: dict(s.__dict__)
+
+        done = 0
+        while done < res_step:
+            k = min(window, res_step - done)
+            scheds, first_active, last_active = window_schedules(k)
+            if first_active != last_active or k != window:
+                # rare boundary (blending activates mid-window / tail):
+                # fall back to single-iteration dispatches
+                for j in range(k):
+                    s = self._schedules_at(self.iter_step)
+                    active = s.color_pixel_weight > 0 or s.color_patch_weight > 0
+                    step_fn = self._get_step_fn(active)
+                    self.rng, sk = jax.random.split(self.rng)
+                    self.params, self.opt_state, metrics = step_fn(
+                        self.params, self.opt_state,
+                        self.dataset.scene, self.dataset.ref_src_pairs,
+                        jnp.asarray(next_img_indices(1)[0]), sk, dataclass_dict(s),
+                    )
+                    self.iter_step += 1
+                    row = np.asarray(jnp.stack([metrics[key] for key in METRIC_KEYS]))
+                    self._post_step_host(
+                        self.iter_step, dict(zip(METRIC_KEYS, row.tolist())),
+                        t_start, report_hook,
+                    )
+                    self._periodic_actions()
+                done += k
+                continue
+
+            window_fn = self._get_window_fn(first_active, k)
+            img_idxs = next_img_indices(k)
+            self.rng, base_key = jax.random.split(self.rng)
+            self.params, self.opt_state, mrows = window_fn(
                 self.params, self.opt_state,
                 self.dataset.scene, self.dataset.ref_src_pairs,
-                jnp.asarray(img_idx), step_key, sched,
+                jnp.asarray(img_idxs), base_key, scheds,
             )
-            self.iter_step += 1
+            self.iter_step += k
+            done += k
 
-            if not metric_keys:
-                metric_keys.extend(sorted(metrics.keys()))
-            pending.append(
-                (self.iter_step, jnp.stack([metrics[k] for k in metric_keys]))
-            )
-            if self.iter_step % sync_freq == 0:
-                flush(t_start)
+            mat = np.asarray(mrows)  # one [window, M] transfer
+            for j in range(k):
+                m = dict(zip(METRIC_KEYS, mat[j].tolist()))
+                self._post_step_host(self.iter_step - k + 1 + j, m, t_start, report_hook)
+            self._periodic_actions()
 
-            if self.iter_step % tcfg.save_freq == 0:
-                self.save_checkpoint()
-            if self.iter_step % tcfg.val_freq == 0:
-                try:
-                    self.validate()
-                except Exception as e:  # validation must not kill training
-                    log.warning("validate failed: %s", e)
-            if self.iter_step % tcfg.val_mesh_freq == 0:
-                try:
-                    self.validate_mesh()
-                    self.extract_udf_mesh(world_space=True, dist_threshold_ratio=2.0)
-                except Exception as e:
-                    log.warning("mesh extraction failed: %s", e)
-
-            if self.iter_step % n_img == 0:
-                image_perm = perm_rng.permutation(n_img)
-
-        flush(t_start)
+    def _periodic_actions(self):
+        tcfg = self.cfg.train
+        if self.iter_step % tcfg.save_freq == 0:
+            self.save_checkpoint()
+        if self.iter_step % tcfg.val_freq == 0:
+            try:
+                self.validate()
+            except Exception as e:  # validation must not kill training
+                log.warning("validate failed: %s", e)
+        if self.iter_step % tcfg.val_mesh_freq == 0:
+            try:
+                self.validate_mesh()
+                self.extract_udf_mesh(world_space=True, dist_threshold_ratio=2.0)
+            except Exception as e:
+                log.warning("mesh extraction failed: %s", e)
 
     def _post_step_host(self, it: int, m: Dict[str, float], t_start: float, report_hook):
         """Host-side per-iter bookkeeping, applied at metric-flush time."""

@@ -4,12 +4,19 @@ One fused XLA program per (config, blending-mode): the entire iteration —
 pixel draws, gathers, 6 UDF evaluations, nested-AD eikonal, optimizer —
 runs on device; the host only computes schedule scalars and logs
 (ref: exp_runner_blending.py:253-447 train_udf).
+
+Two entry points:
+  * build_train_step  — one dispatch per iteration (tests, dry runs)
+  * build_train_window — `window` iterations per dispatch via lax.scan:
+    per-step schedule scalars arrive as stacked [K] arrays and metrics
+    return as one [K, M] array, so host↔device round trips (expensive on
+    remote-tunnel TPUs) amortize over the whole window.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,14 +29,17 @@ from .optim import make_lr_fn, make_trainable_fn, tree_adam_step
 
 Params = Dict[str, Any]
 
+METRIC_KEYS: List[str] = [
+    "loss", "color_total_loss", "color_base_loss", "color_loss",
+    "color_pixel_loss", "color_patch_loss", "mask_loss", "gradient_error",
+    "gradient_error_near_surface", "sparse_error", "psnr", "variance",
+    "beta", "gamma", "udf_min", "udf_mean", "weight_sum", "weight_sum_fg_bg",
+]
 
-def build_train_step(cfg: Config, renderer: UDFRenderer, *, blending: bool):
-    """Returns jitted step(params, opt_state, scene, ref_src_pairs, img_idx,
-    key, sched) -> (params, opt_state, metrics).
 
-    `blending` is a static switch: the finetune path warps 8 source views
-    per step; stage-1 never does (ref: exp_runner_blending.py:282-287).
-    """
+def build_step_body(cfg: Config, renderer: UDFRenderer, *, blending: bool):
+    """Returns body(params, opt_state, scene, ref_src_pairs, img_idx, key,
+    sched) -> (params, opt_state, metrics dict). Pure, un-jitted."""
     tcfg = cfg.train
     ccfg = cfg.color_loss
     bcfg = cfg.model.beta_network
@@ -136,8 +146,7 @@ def build_train_step(cfg: Config, renderer: UDFRenderer, *, blending: bool):
         }
         return total, metrics
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, scene, ref_src_pairs, img_idx, key, sched):
+    def body(params, opt_state, scene, ref_src_pairs, img_idx, key, sched):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, scene, ref_src_pairs, img_idx, key, sched
         )
@@ -148,4 +157,36 @@ def build_train_step(cfg: Config, renderer: UDFRenderer, *, blending: bool):
         params, opt_state = tree_adam_step(params, grads, opt_state, lr_fn, trainable_fn)
         return params, opt_state, metrics
 
-    return step
+    return body
+
+
+def build_train_step(cfg: Config, renderer: UDFRenderer, *, blending: bool):
+    """Single-iteration jitted step (one dispatch per iter)."""
+    body = build_step_body(cfg, renderer, blending=blending)
+    return partial(jax.jit, donate_argnums=(0, 1))(body)
+
+
+def build_train_window(cfg: Config, renderer: UDFRenderer, *, blending: bool, window: int):
+    """`window` iterations fused into one dispatch via lax.scan.
+
+    sched entries arrive stacked as [window] arrays; img_idxs is [window];
+    metrics come back as one [window, len(METRIC_KEYS)] array.
+    """
+    body = build_step_body(cfg, renderer, blending=blending)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def window_fn(params, opt_state, scene, ref_src_pairs, img_idxs, base_key, scheds):
+        keys = jax.random.split(base_key, window)
+
+        def scan_body(carry, xs):
+            p, o = carry
+            idx, k, srow = xs
+            p, o, m = body(p, o, scene, ref_src_pairs, idx, k, srow)
+            return (p, o), jnp.stack([m[name] for name in METRIC_KEYS])
+
+        (params, opt_state), mrows = jax.lax.scan(
+            scan_body, (params, opt_state), (img_idxs, keys, scheds)
+        )
+        return params, opt_state, mrows
+
+    return window_fn
