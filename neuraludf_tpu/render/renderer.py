@@ -63,7 +63,14 @@ class UDFRenderer:
 
     def udf_fn(self, params: Params):
         """Sampling-tier distance queries (no-grad upsampling rounds)."""
+        import os
+
         ucfg = self.cfg.udf_network
+        if os.environ.get("NEURALUDF_FUSED_SAMPLING") == "1":
+            from ..ops.pallas_mlp import _supported, distance_value_fused
+
+            if _supported(ucfg):
+                return lambda pts: distance_value_fused(params["udf"], pts, ucfg)
         return lambda pts: fields.distance_value(params["udf"], pts, ucfg, role="sampling")[:, 0]
 
     def n_fg_samples(self) -> int:

@@ -350,18 +350,39 @@ class Runner:
     # validation rendering (ref: exp_runner_blending.py:604-719)
     # ------------------------------------------------------------------
 
-    def _render_chunk_fn(self):
+    def _render_chunk_fn(self, pixel_blending: bool = False):
+        """Chunked validation renderer. The reference always feeds source
+        views so validation images include the pixel-blended color
+        (ref: exp_runner_blending.py:614, :630-636)."""
         opts = RenderOptions(
-            perturb=self.cfg.model.udf_renderer.perturb > 0, compute_random_sparse=False
+            perturb=self.cfg.model.udf_renderer.perturb > 0,
+            compute_random_sparse=False,
+            pixel_blending=pixel_blending,
         )
 
         @jax.jit
-        def render_chunk(params, rays_o, rays_d, near, far, key, cos_anneal):
+        def render_chunk(params, rays_o, rays_d, near, far, key, cos_anneal,
+                         scene, ref_src_pairs, img_idx):
+            blending = None
+            if pixel_blending:
+                from ..data.dataset import ref_src_info
+
+                ref_c2w, src_c2ws, src_intr, src_images = ref_src_info(
+                    scene, ref_src_pairs, img_idx
+                )
+                blending = {
+                    "color_maps": src_images,
+                    "w2cs": jnp.linalg.inv(src_c2ws),
+                    "intrinsics": src_intr,
+                    "query_c2w": ref_c2w,
+                    "rays_uv": None,
+                    "img_index": None,
+                }
             return self.renderer.render(
                 params, rays_o, rays_d, near, far, key=key,
                 cos_anneal_ratio=cos_anneal, flip_saturation=1.0,
                 background_rgb=jnp.ones((1, 3)) if self.cfg.train.use_white_bkgd else None,
-                opts=opts,
+                blending=blending, opts=opts,
             )
 
         return render_chunk
@@ -379,8 +400,10 @@ class Runner:
         rays_o = np.asarray(rays_o).reshape(-1, 3)
         rays_d = np.asarray(rays_d).reshape(-1, 3)
 
+        # the pixel-blended pass needs >= 2 views to warp from
+        pixel_blending = self.dataset.n_images > 8
         if not hasattr(self, "_render_chunk"):
-            self._render_chunk = self._render_chunk_fn()
+            self._render_chunk = self._render_chunk_fn(pixel_blending=pixel_blending)
 
         bs = self.cfg.train.batch_size
         n = rays_o.shape[0]
@@ -389,14 +412,19 @@ class Runner:
         rays_d_p = np.concatenate([rays_d, np.ones((pad, 3), np.float32)])
 
         cos_anneal = sched_mod.cos_anneal_ratio(self.iter_step, self.cfg.train)
-        out_rgb, out_normal, out_depth = [], [], []
+        out_rgb, out_rgb_pixel, out_normal, out_depth = [], [], [], []
         for i in range(0, n + pad, bs):
             ro = jnp.asarray(rays_o_p[i : i + bs])
             rd = jnp.asarray(rays_d_p[i : i + bs])
             near, far = near_far_from_sphere(ro, rd)
             self.rng, k = jax.random.split(self.rng)
-            ret = self._render_chunk(self.params, ro, rd, near, far, k, cos_anneal)
+            ret = self._render_chunk(
+                self.params, ro, rd, near, far, k, cos_anneal,
+                self.dataset.scene, self.dataset.ref_src_pairs, jnp.asarray(idx),
+            )
             out_rgb.append(np.asarray(ret["color"]))
+            if ret.get("color_pixel") is not None:
+                out_rgb_pixel.append(np.asarray(ret["color_pixel"]))
             out_depth.append(np.asarray(ret["depth"]))
             n_fg = self.renderer.n_fg_samples()
             normals = np.asarray(
@@ -432,9 +460,13 @@ class Runner:
             return
 
         gt = self.dataset.image_at(idx, resolution_level)
+        rgbs = [img_fine]
+        if out_rgb_pixel:
+            img_pixel = (np.concatenate(out_rgb_pixel)[:n].reshape(H, W, 3) * 256).clip(0, 255)
+            rgbs.append(img_pixel)
         cv.imwrite(
             os.path.join(self.base_exp_dir, "validations_fine", f"{self.iter_step:0>8d}_{idx}.png"),
-            np.concatenate([img_fine, gt]),
+            np.concatenate(rgbs + [gt]),
         )
         cv.imwrite(
             os.path.join(self.base_exp_dir, "normals", f"{self.iter_step:0>8d}_{idx}.png"),
@@ -455,8 +487,8 @@ class Runner:
         H, W, _ = rays_o.shape
         rays_o = np.asarray(rays_o).reshape(-1, 3)
         rays_d = np.asarray(rays_d).reshape(-1, 3)
-        if not hasattr(self, "_render_chunk"):
-            self._render_chunk = self._render_chunk_fn()
+        if not hasattr(self, "_render_chunk_plain"):
+            self._render_chunk_plain = self._render_chunk_fn(pixel_blending=False)
         bs = self.cfg.train.batch_size
         n = rays_o.shape[0]
         pad = (-n) % bs
@@ -467,7 +499,10 @@ class Runner:
             ro, rd = jnp.asarray(rays_o[i : i + bs]), jnp.asarray(rays_d[i : i + bs])
             near, far = near_far_from_sphere(ro, rd)
             self.rng, k = jax.random.split(self.rng)
-            ret = self._render_chunk(self.params, ro, rd, near, far, k, 1.0)
+            ret = self._render_chunk_plain(
+                self.params, ro, rd, near, far, k, 1.0,
+                self.dataset.scene, self.dataset.ref_src_pairs, jnp.asarray(idx_0),
+            )
             out_rgb.append(np.asarray(ret["color"]))
         img = (np.concatenate(out_rgb)[:n].reshape(H, W, 3) * 256).clip(0, 255)
         out = os.path.join(self.base_exp_dir, "render")

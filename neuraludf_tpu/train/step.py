@@ -51,6 +51,13 @@ def build_step_body(cfg: Config, renderer: UDFRenderer, *, blending: bool):
         patch_blending=blending and ccfg.color_patch_weight > 0,
         compute_random_sparse=True,
     )
+    if opts.patch_blending:
+        # the patch size is configured in two places (like the reference
+        # confs); they must agree or the warp/GT patch shapes diverge
+        assert cfg.model.udf_renderer.h_patch_size == ccfg.h_patch_size, (
+            "model.udf_renderer.h_patch_size must equal color_loss.h_patch_size "
+            f"({cfg.model.udf_renderer.h_patch_size} != {ccfg.h_patch_size})"
+        )
 
     def loss_fn(params, scene, ref_src_pairs, img_idx, key, sched):
         k_rays, k_render = jax.random.split(key)
