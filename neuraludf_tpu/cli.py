@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse_weight", type=float, default=0)
     p.add_argument("--end_iter", type=int, default=0, help="override train.end_iter")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of the first training windows")
+    p.add_argument("--multihost", default=False, action="store_true",
+                   help="call jax.distributed.initialize() for multi-host pods")
     return p
 
 
@@ -48,6 +52,11 @@ def main(argv=None):
     from .utils import setup_jax
 
     setup_jax()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from . import config as config_mod
     from .train.runner import Runner
@@ -77,7 +86,13 @@ def main(argv=None):
     )
 
     if args.mode == "train":
-        runner.train()
+        if args.profile_dir:
+            from .utils.jax_setup import trace
+
+            with trace(args.profile_dir):
+                runner.train()
+        else:
+            runner.train()
         runner.extract_udf_mesh(
             resolution=args.final_mesh_resolution, world_space=True, dist_threshold_ratio=5.0
         )
