@@ -38,8 +38,6 @@ def main():
     from neuraludf_tpu.train.optim import init_adam_state
     from neuraludf_tpu.train.runner import init_params
     from neuraludf_tpu.train.schedules import compute_step_schedules
-    from neuraludf_tpu.train.step import build_train_step
-
     scene_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench", "sphere")
     if not os.path.exists(os.path.join(scene_dir, "cameras.npz")):
         generate_scene(scene_dir, kind="sphere", n_views=16, H=600, W=800, focal=900.0)

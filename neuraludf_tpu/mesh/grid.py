@@ -42,7 +42,7 @@ def _grad_chunk_fn(cfg: UDFNetworkConfig):
     return f
 
 
-def _query_chunked(fn, udf_params, pts: np.ndarray, out_dim: int) -> np.ndarray:
+def _query_chunked(fn, udf_params, pts: np.ndarray) -> np.ndarray:
     n = pts.shape[0]
     pad = (-n) % CHUNK
     pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
@@ -64,13 +64,13 @@ def grid_points(bound_min, bound_max, resolution: int) -> np.ndarray:
 def extract_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max, resolution: int) -> np.ndarray:
     """UDF values on an axis-aligned grid: [R, R, R] (axis0 = x)."""
     pts = grid_points(bound_min, bound_max, resolution)
-    u = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts, 1)
+    u = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts)
     return u.reshape(resolution, resolution, resolution)
 
 
 def extract_gradient_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max, resolution: int) -> np.ndarray:
     pts = grid_points(bound_min, bound_max, resolution)
-    g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts, 3)
+    g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts)
     return g.reshape(resolution, resolution, resolution, 3)
 
 
@@ -86,15 +86,15 @@ def udf_and_normals_grid(
     N = resolution
     voxel_size = 2.0 / (N - 1)
     pts = grid_points([-1, -1, -1], [1, 1, 1], N)
-    udf = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts, 1)
+    udf = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts)
 
     normals = np.zeros((N ** 3, 3), np.float32)
     near = np.where(udf < 2 * voxel_size)[0]
     if near.size:
-        g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts[near], 3)
+        g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts[near])
         normals[near] = -g
     return udf.reshape(N, N, N), normals.reshape(N, N, N, 3)
 
 
 def query_udf_at(params, cfg: UDFNetworkConfig, pts: np.ndarray) -> np.ndarray:
-    return _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts.astype(np.float32), 1)
+    return _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts.astype(np.float32))

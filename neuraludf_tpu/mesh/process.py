@@ -9,8 +9,6 @@ Laplacian smoothing, and area-weighted vertex normals.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Tuple
-
 import numpy as np
 from scipy.sparse import coo_matrix
 

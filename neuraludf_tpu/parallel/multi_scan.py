@@ -12,8 +12,7 @@ scene arrays [S, V, H, W, 3]).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, List
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ from ..data.dataset import Dataset
 from ..render.renderer import UDFRenderer
 from ..train.optim import init_adam_state
 from ..train.runner import init_params
-from ..train.step import build_train_step
 
 
 def stack_scenes(datasets: List[Dataset]) -> Dict[str, jnp.ndarray]:
@@ -48,7 +46,6 @@ def build_multi_scan_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, ble
     keys_S, sched) with every stacked leaf sharded over the mesh."""
     single = _unjitted_single_step(cfg, renderer, blending=blending)
     vstep = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, None))
-    scan_sharded = NamedSharding(mesh, P("data"))
 
     def shard_leaf(x):
         return jax.lax.with_sharding_constraint(

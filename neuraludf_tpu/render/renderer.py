@@ -33,7 +33,6 @@ from .sampling import (
     importance_sample_classical,
     importance_sample_mix,
     mix_total_samples,
-    sample_pdf,
 )
 
 Params = Dict[str, Any]
@@ -43,7 +42,6 @@ Params = Dict[str, Any]
 class RenderOptions:
     """Trace-time (static) rendering switches."""
     perturb: bool = True
-    with_background_rgb: bool = False  # white background compositing
     pixel_blending: bool = False
     patch_blending: bool = False
     compute_random_sparse: bool = True
