@@ -124,14 +124,26 @@ static bool triangulate_cube(MeshBuilder& mb, const Grid& G,
   }
 
   if (gate_min_shared > 0) {
+    // count DISTINCT already-existing surface vertices this cube would
+    // reuse (the reference's check_triangles dedups face-layer vertices)
     int shared = 0;
-    for (int t = 0; t < 6; t++) {
+    uint64_t seen[24];  // 12 cube edges + 6 face diagonals + main diagonal
+    int n_seen = 0;
+    for (int t = 0; t < 6 && shared < gate_min_shared; t++) {
       const int* T = TETS[t];
       for (int e = 0; e < 6; e++) {
         static const int TE[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
         int i = T[TE[e][0]], j = T[TE[e][1]];
         bool pi = sv[i] >= 0, pj = sv[j] >= 0;
-        if (pi != pj && mb.edge_vertex_exists(corner_gid[i], corner_gid[j])) shared++;
+        if (pi == pj) continue;
+        uint64_t a = corner_gid[i], b = corner_gid[j];
+        uint64_t key = a < b ? (a << 32) | b : (b << 32) | a;
+        bool dup = false;
+        for (int s = 0; s < n_seen; s++)
+          if (seen[s] == key) { dup = true; break; }
+        if (dup) continue;
+        if (n_seen < 24) seen[n_seen++] = key;
+        if (mb.edge_vertex_exists(a, b)) shared++;
       }
     }
     if (shared < gate_min_shared) return false;

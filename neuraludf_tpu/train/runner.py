@@ -316,6 +316,18 @@ class Runner:
     def _post_step_host(self, it: int, m: Dict[str, float], t_start: float, report_hook):
         """Host-side per-iter bookkeeping, applied at metric-flush time."""
         tcfg = self.cfg.train
+        # failure detection: the reference pdb-traps on NaN
+        # (ref: udf_renderer_blending.py:97-101); we save a crash checkpoint
+        # and stop with a diagnosable error instead
+        if not np.isfinite(m["loss"]):
+            path = os.path.join(self._ckpt_dir(), f"crash_{it:0>6d}.ckpt")
+            try:
+                self.save_checkpoint()
+            except Exception:
+                pass
+            raise FloatingPointError(
+                f"non-finite loss at iter {it}: {m} — state saved near {path}"
+            )
         # beta/variance trainability state machine (ref: exp_runner:353-359)
         if (
             m["variance"] < 2 * m["beta"]
