@@ -20,7 +20,7 @@ import numpy as np
 from ..config import UDFNetworkConfig
 from ..nets import fields
 
-CHUNK = 1 << 17  # points per jitted evaluation
+CHUNK = 1 << 20  # points per jitted evaluation (matches the reference batch, ref: extract_mesh.py:18)
 
 
 @lru_cache(maxsize=8)

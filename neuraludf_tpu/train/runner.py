@@ -417,7 +417,9 @@ class Runner:
         if not hasattr(self, "_render_chunk"):
             self._render_chunk = self._render_chunk_fn(pixel_blending=pixel_blending)
 
-        bs = self.cfg.train.batch_size
+        # large validation chunks amortize dispatch latency (the training
+        # batch size is tuned for gradient steps, not inference)
+        bs = self.cfg.train.batch_size * 8
         n = rays_o.shape[0]
         pad = (-n) % bs
         rays_o_p = np.concatenate([rays_o, np.zeros((pad, 3), np.float32)])
@@ -501,7 +503,7 @@ class Runner:
         rays_d = np.asarray(rays_d).reshape(-1, 3)
         if not hasattr(self, "_render_chunk_plain"):
             self._render_chunk_plain = self._render_chunk_fn(pixel_blending=False)
-        bs = self.cfg.train.batch_size
+        bs = self.cfg.train.batch_size * 8
         n = rays_o.shape[0]
         pad = (-n) % bs
         rays_o = np.concatenate([rays_o, np.zeros((pad, 3), np.float32)])
