@@ -162,3 +162,32 @@ def test_color_blend_parity():
     np.testing.assert_allclose(np.asarray(patch), to_np(ref_patch), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pixm), to_np(ref_pixm))
     np.testing.assert_allclose(np.asarray(patchm), to_np(ref_patchm))
+
+
+def test_sdf_network_parity():
+    """The NeuS-compatible SDF variant (ref: models/fields.py:10-112)."""
+    cfg = UDFNetworkConfig(udf_type="sdf", inside_outside=True, d_out=65,
+                           d_hidden=64, n_layers=4, skip_in=(2,), multires=6, bias=0.5)
+    net = ref_fields.SDFNetwork(
+        d_in=3, d_out=65, d_hidden=64, n_layers=4, skip_in=(2,), multires=6,
+        bias=0.5, scale=1.0, geometric_init=True, weight_norm=True, inside_outside=True,
+    )
+    params = udf_state_to_jax(net)
+    x = np.random.RandomState(7).uniform(-1, 1, (25, 3)).astype(np.float32)
+    ref = to_np(net(torch.from_numpy(x)))
+    ours = np.asarray(fields.distance_field_apply(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+    ref_g = to_np(net.gradient(torch.from_numpy(x)))[:, 0]
+    ours_g = np.asarray(fields.distance_gradient(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(ours_g, ref_g, rtol=1e-3, atol=1e-4)
+
+
+def test_sdf_inside_outside_init_sign():
+    """inside_outside geometric init gives negative-outward signed field."""
+    cfg = UDFNetworkConfig(udf_type="sdf", inside_outside=True)
+    params = fields.init_distance_field(jax.random.PRNGKey(1), cfg)
+    x = np.random.RandomState(8).uniform(-1, 1, (128, 3)).astype(np.float32)
+    sdf = np.asarray(fields.distance_value(params, jnp.asarray(x), cfg))[:, 0]
+    r = np.linalg.norm(x, axis=-1)
+    corr = np.corrcoef(sdf, -(r - cfg.bias))[0, 1]
+    assert corr > 0.85, corr
