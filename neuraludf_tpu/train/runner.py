@@ -133,6 +133,7 @@ class Runner:
             "iter_step": self.iter_step,
             "beta_trainable": self.beta_trainable,
             "variance_trainable": self.variance_trainable,
+            "rng": np.asarray(self.rng),  # bit-exact resume of the sampling stream
         }
         path = os.path.join(self._ckpt_dir(), f"ckpt_{self.iter_step:0>6d}.ckpt")
         with open(path, "wb") as f:
@@ -148,6 +149,8 @@ class Runner:
         self.iter_step = int(payload["iter_step"])
         self.beta_trainable = bool(payload.get("beta_trainable", self.beta_trainable))
         self.variance_trainable = bool(payload.get("variance_trainable", True))
+        if "rng" in payload:
+            self.rng = jnp.asarray(payload["rng"])
         if self.is_finetune:  # finetune restarts the schedule clock (ref: :479-480)
             self.iter_step = 0
         log.info("loaded checkpoint %s (iter %d)", path, self.iter_step)
@@ -212,6 +215,10 @@ class Runner:
         n_img = self.dataset.n_images
         perm_rng = np.random.RandomState(0)
         image_perm = perm_rng.permutation(n_img)
+        # resume: fast-forward the permutation stream so a save/load cycle
+        # replays the same image order as an uninterrupted run
+        for _ in range(self.iter_step // n_img):
+            image_perm = perm_rng.permutation(n_img)
 
         # Host↔device round trips are high-latency on the TPU tunnel: the
         # loop dispatches `window` iterations per call (lax.scan inside one
