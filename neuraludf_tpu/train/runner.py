@@ -308,6 +308,16 @@ class Runner:
         tcfg = self.cfg.train
         if self.iter_step % tcfg.save_freq == 0:
             self.save_checkpoint()
+        if self.vis_ray and self.iter_step % (tcfg.val_mesh_freq * 2) == 0:
+            # ray-statistics probes across the center column
+            # (ref: exp_runner_blending.py:435-437)
+            try:
+                H, W = self.dataset.H, self.dataset.W
+                idx = min(33, self.dataset.n_images - 1)
+                for dy in range(-H // 4, H // 4, max(20, H // 8)):
+                    self.visualize_one_ray(idx, W // 2, H // 2 + dy)
+            except Exception as e:
+                log.warning("vis_ray failed: %s", e)
         if self.iter_step % tcfg.val_freq == 0:
             try:
                 self.validate()

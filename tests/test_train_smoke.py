@@ -147,3 +147,47 @@ def test_finetune_restart(scene_dir, tmp_path):
     # finetune: restore params but reset the schedule clock (ref: :479-480)
     r2 = Runner(cfg, is_continue=True, is_finetune=True)
     assert r2.iter_step == 0
+
+
+def test_field_dumps_and_novel_view(scene_dir, tmp_path):
+    """validate_fields, save_hdf5, validate_novel_image run end-to-end."""
+    import h5py
+
+    from neuraludf_tpu.train.runner import Runner
+
+    cfg = tiny_config(scene_dir, str(tmp_path / "exp3"), end_iter=2)
+    r = Runner(cfg)
+    p = r.validate_fields(resolution=24)
+    u = np.load(p)
+    assert u.shape == (24, 24, 24) and np.isfinite(u).all()
+
+    ph = r.save_hdf5(resolution=16)
+    with h5py.File(ph) as f:
+        assert f["16_sdf"].shape == (17, 17, 17)
+
+    r.validate_novel_image(0, 1, 0.5, out_idx=0, resolution_level=8)
+    assert os.path.exists(os.path.join(r.base_exp_dir, "render", "0.png"))
+
+
+def test_bmvs_layout(tmp_path):
+    """The bmvs (jpg) dataset layout loads."""
+    import shutil
+
+    from neuraludf_tpu.config import DatasetConfig
+    from neuraludf_tpu.data.dataset import Dataset
+    from neuraludf_tpu.data.synthetic import generate_scene
+    import cv2 as cv
+
+    src = str(tmp_path / "src")
+    generate_scene(src, kind="sphere", n_views=3, H=40, W=48, focal=64.0)
+    dst = tmp_path / "bmvs"
+    (dst / "blended_images").mkdir(parents=True)
+    (dst / "masks").mkdir()
+    for i in range(3):
+        img = cv.imread(f"{src}/image/{i:03d}.png")
+        msk = cv.imread(f"{src}/mask/{i:03d}.png")
+        cv.imwrite(str(dst / "blended_images" / f"{i:03d}.jpg"), img)
+        cv.imwrite(str(dst / "masks" / f"{i:03d}.jpg"), msk)
+    shutil.copy(f"{src}/cameras.npz", dst / "cameras.npz")
+    ds = Dataset(DatasetConfig(data_dir=str(dst), dataset_name="bmvs"))
+    assert ds.n_images == 3 and ds.scene["images"].shape == (3, 40, 48, 3)
