@@ -41,7 +41,10 @@ _NAMES = {
 _FORCED = _os.environ.get("NEURALUDF_PRECISION", "").lower() or None
 
 PRECISION_POLICY = {
-    "distance": jax.lax.Precision.HIGHEST,
+    "distance": _NAMES.get(
+        _os.environ.get("NEURALUDF_DISTANCE_PRECISION", "").lower(),
+        jax.lax.Precision.HIGHEST,
+    ),
     "sampling": jax.lax.Precision.DEFAULT,  # no-grad upsampling evals
     "color": jax.lax.Precision.DEFAULT,
     "nerf": jax.lax.Precision.DEFAULT,
