@@ -92,10 +92,11 @@ def clean_mesh_faces_by_mask(mesh_file: str, new_mesh_file: str, data_dir: str,
 
 
 def clean_mesh_faces_by_visualhull(mesh_file: str, new_mesh_file: str, data_dir: str,
-                                   imgs_idx=None, mask_dilated_size: int = 11):
+                                   imgs_idx=None, mask_dilated_size: int = 11,
+                                   border: int = 50):
     verts, faces = load_ply(mesh_file)
     mask = clean_points_by_visualhull(verts.astype(np.float64), data_dir, imgs_idx,
-                                      mask_dilated_size=mask_dilated_size)
+                                      mask_dilated_size=mask_dilated_size, border=border)
     v, f = _filter_mesh_by_vertex_mask(verts, faces, mask)
     export_ply(new_mesh_file, v, f)
     return new_mesh_file
