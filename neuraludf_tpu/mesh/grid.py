@@ -33,6 +33,27 @@ def _udf_chunk_fn(cfg: UDFNetworkConfig):
 
 
 @lru_cache(maxsize=8)
+def _udf_grid_chunk_fn(cfg: UDFNetworkConfig, resolution: int):
+    """Evaluate a contiguous linear-index chunk of the grid with the points
+    generated ON DEVICE — uploading grid coordinates over a remote-TPU
+    tunnel dominates extraction time otherwise (measured 216 s of a 512-grid
+    fill was point upload)."""
+
+    @jax.jit
+    def f(udf_params, start, bmin, bmax):
+        R = resolution
+        lin = start + jnp.arange(CHUNK)
+        k = lin % R
+        j = (lin // R) % R
+        i = (lin // (R * R)) % R
+        frac = jnp.stack([i, j, k], axis=-1).astype(jnp.float32) / (R - 1)
+        pts = bmin[None, :] + frac * (bmax - bmin)[None, :]
+        return fields.distance_value(udf_params, pts, cfg)[:, 0]
+
+    return f
+
+
+@lru_cache(maxsize=8)
 def _grad_chunk_fn(cfg: UDFNetworkConfig):
     @jax.jit
     def f(udf_params, pts):
@@ -62,10 +83,19 @@ def grid_points(bound_min, bound_max, resolution: int) -> np.ndarray:
 
 
 def extract_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max, resolution: int) -> np.ndarray:
-    """UDF values on an axis-aligned grid: [R, R, R] (axis0 = x)."""
-    pts = grid_points(bound_min, bound_max, resolution)
-    u = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts)
-    return u.reshape(resolution, resolution, resolution)
+    """UDF values on an axis-aligned grid: [R, R, R] (axis0 = x).
+
+    Points are generated on device (only values cross the host boundary)."""
+    R = resolution
+    n = R ** 3
+    fn = _udf_grid_chunk_fn(cfg, R)
+    bmin = jnp.asarray(np.asarray(bound_min, np.float32))
+    bmax = jnp.asarray(np.asarray(bound_max, np.float32))
+    outs = []
+    for start in range(0, n, CHUNK):
+        outs.append(np.asarray(fn(params["udf"], start, bmin, bmax)))
+    u = np.concatenate(outs)[:n]
+    return u.reshape(R, R, R)
 
 
 def extract_gradient_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max, resolution: int) -> np.ndarray:
@@ -85,13 +115,18 @@ def udf_and_normals_grid(
     """
     N = resolution
     voxel_size = 2.0 / (N - 1)
-    pts = grid_points([-1, -1, -1], [1, 1, 1], N)
-    udf = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts)
+    udf = extract_fields(params, cfg, [-1, -1, -1], [1, 1, 1], N).reshape(-1)
 
     normals = np.zeros((N ** 3, 3), np.float32)
     near = np.where(udf < 2 * voxel_size)[0]
     if near.size:
-        g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts[near])
+        # decode linear indices -> coordinates directly (materializing the
+        # full N^3 x 3 grid on host costs gigabytes and ~a minute at 512^3)
+        k = (near % N).astype(np.float32)
+        j = ((near // N) % N).astype(np.float32)
+        i = (near // (N * N)).astype(np.float32)
+        pts = np.stack([i, j, k], axis=-1) / (N - 1) * 2.0 - 1.0
+        g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts)
         normals[near] = -g
     return udf.reshape(N, N, N), normals.reshape(N, N, N, 3)
 

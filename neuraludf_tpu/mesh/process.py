@@ -35,9 +35,14 @@ def remove_bad_faces(verts: np.ndarray, faces: np.ndarray):
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     area2 = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
     faces = faces[area2 > 1e-16]
-    # duplicates irrespective of winding
-    key = np.sort(faces, axis=1)
-    _, keep = np.unique(key, axis=0, return_index=True)
+    # duplicates irrespective of winding (packed 1-D keys: axis=0 unique
+    # on millions of rows is far slower)
+    s = np.sort(faces, axis=1).astype(np.int64)
+    if s.max(initial=0) < (1 << 21):
+        key = (s[:, 0] << 42) | (s[:, 1] << 21) | s[:, 2]
+        _, keep = np.unique(key, return_index=True)
+    else:  # >2M vertices: fall back to row-wise unique
+        _, keep = np.unique(s, axis=0, return_index=True)
     return faces[np.sort(keep)]
 
 
@@ -49,11 +54,16 @@ def remove_unreferenced(verts: np.ndarray, faces: np.ndarray):
 
 
 def boundary_edges(faces: np.ndarray) -> np.ndarray:
-    """Edges referenced by exactly one face: [E, 2] sorted vertex pairs."""
+    """Edges referenced by exactly one face: [E, 2] sorted vertex pairs.
+
+    Edges are packed into int64 keys — np.unique(axis=0) over millions of
+    rows costs ~100x more than a 1-D unique."""
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    e = np.sort(e, axis=1)
-    uniq, counts = np.unique(e, axis=0, return_counts=True)
-    return uniq[counts == 1]
+    e = np.sort(e, axis=1).astype(np.int64)
+    key = e[:, 0] << 32 | e[:, 1]
+    uniq, counts = np.unique(key, return_counts=True)
+    single = uniq[counts == 1]
+    return np.stack([single >> 32, single & 0xFFFFFFFF], axis=1).astype(faces.dtype)
 
 
 def fill_single_triangle_holes(verts: np.ndarray, faces: np.ndarray):
