@@ -2,12 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The metric is training rays/sec/chip on the flagship DTU configuration
-(512 rays/iter, 64+50 samples, 32 background samples, eikonal double
-backprop, Adam) over a synthetic sphere scene — the reference publishes no
-throughput numbers (SURVEY.md §6), so vs_baseline is measured against an
-estimated 2560 rays/s for the reference PyTorch repo on one GPU
-(300k iters x 512 rays in ~17h ≈ 5 it/s, typical for NeuS-family repos).
+PRIMARY numbers are absolute: ms/step and rays/s/chip on the flagship DTU
+configuration (512 rays/iter, 64+50 samples, 32 background samples, eikonal
+double backprop, Adam) over a synthetic sphere scene. Both are included in
+the JSON line ("value" = rays/s, "step_ms" = absolute step time) and echoed
+to stderr.
+
+vs_baseline is SECONDARY: the reference publishes no throughput numbers
+(SURVEY.md §6), so it is computed against an *estimated* 2,560 rays/s for
+the reference PyTorch repo on one GPU. Derivation and error bars are in
+BASELINE.md §"Throughput baseline (estimated)"; the multiplier carries
+roughly ±2x uncertainty and should be read as an order-of-magnitude check,
+not a measurement.
 """
 
 import json
@@ -101,12 +107,20 @@ def main():
     dt = (time.time() - t0) / (n_windows * window)
 
     rays_per_sec = cfg.train.batch_size / dt
+    step_ms = dt * 1e3
+    print(
+        f"absolute: {step_ms:.2f} ms/step, {rays_per_sec:,.1f} rays/s/chip "
+        f"(DTU config, 512 rays/iter; vs_baseline uses the ESTIMATED "
+        f"{REFERENCE_RAYS_PER_SEC:.0f} rays/s reference figure, see BASELINE.md)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
                 "metric": "train_rays_per_sec_per_chip_dtu512",
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
+                "step_ms": round(step_ms, 2),
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
             }
         )

@@ -62,12 +62,9 @@ def build_multi_scan_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, ble
 
 def _unjitted_single_step(cfg: Config, renderer: UDFRenderer, *, blending: bool):
     """The single-scan step body without jit (so it can be vmapped)."""
-    import neuraludf_tpu.train.step as step_mod
+    from ..train.step import build_step_body
 
-    # build_train_step jits internally; rebuild its body unjitted by calling
-    # through the module with jit disabled at trace time
-    jitted = step_mod.build_train_step(cfg, renderer, blending=blending)
-    return jitted.__wrapped__  # the undecorated function under jax.jit
+    return build_step_body(cfg, renderer, blending=blending)
 
 
 def multi_scan_train(
