@@ -36,17 +36,31 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int, *, det: 
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
     # TPU-friendly batched search: the default binary-search lowering is a
-    # sequential scan; with <=150 bins a dense compare-and-count is one
-    # fused VPU pass (side='right' == count of cdf entries <= u)
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
-    )
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    # sequential scan and take_along_axis lowers to scalar-unit gathers
+    # (profiled at >1 ms/step); with <=150 bins a dense prefix mask gives
+    # both the bracketing interval and its values in pure VPU passes.
+    # m[b,k,j] = cdf[b,j] <= u[b,k] is a prefix mask over j (cdf sorted),
+    # so below = popcount-1 selects where the mask falls 1->0 and
+    # above = popcount where it rises 0->1 (edge-padded).
+    m = cdf[:, None, :] <= u[:, :, None]  # [B, K, n]
+    inds = jnp.sum(m.astype(jnp.int32), axis=-1)
+    f = m.astype(cdf.dtype)
+    m_next = jnp.concatenate([f[..., 1:], jnp.zeros_like(f[..., :1])], axis=-1)
+    m_prev = jnp.concatenate([jnp.ones_like(f[..., :1]), f[..., :-1]], axis=-1)
+    below_oh = f * (1.0 - m_next)          # one-hot at inds-1 (empty if inds==0)
+    above_oh = (1.0 - f) * m_prev          # one-hot at inds   (empty if inds==n)
+    at_lo = (inds == 0)[..., None].astype(cdf.dtype)          # below -> 0
+    at_hi = (inds == cdf.shape[-1])[..., None].astype(cdf.dtype)  # above -> n-1
+    below_oh = below_oh.at[..., 0].add(at_lo[..., 0])
+    above_oh = above_oh.at[..., -1].add(at_hi[..., 0])
+
+    def pick(vals, oh):
+        return jnp.sum(vals[:, None, :] * oh, axis=-1)
+
+    cdf_b = pick(cdf, below_oh)
+    cdf_a = pick(cdf, above_oh)
+    bins_b = pick(bins, below_oh)
+    bins_a = pick(bins, above_oh)
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_b) / denom
@@ -130,14 +144,14 @@ def cat_z_vals(udf_fn: UdfFn, rays_o, rays_d, z_vals, new_z_vals, udf, *, last: 
     batch, n = z_vals.shape
     _, n_new = new_z_vals.shape
     z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
     if last:
-        return z_sorted, udf
+        return jnp.sort(z_all, axis=-1), udf
     pts = _ray_points(rays_o, rays_d, new_z_vals)
     new_udf = udf_fn(pts.reshape(-1, 3)).reshape(batch, n_new)
     udf_all = jnp.concatenate([udf, new_udf], axis=-1)
-    udf_sorted = jnp.take_along_axis(udf_all, order, axis=-1)
+    # co-sort both arrays by z in one multi-operand sort — no argsort +
+    # take_along_axis (those lower to slow scalar-unit gathers on TPU)
+    z_sorted, udf_sorted = jax.lax.sort((z_all, udf_all), dimension=-1, num_keys=1)
     return z_sorted, udf_sorted
 
 
