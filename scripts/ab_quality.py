@@ -1,0 +1,102 @@
+"""Precision/kernel quality A/B: train on a synthetic scene, extract the
+mesh, report geometry error vs the analytic GT surface.
+
+Usage: python scripts/ab_quality.py --tag fused_default --iters 20000 \
+           [--kind sphere|capsule] [--fused 0|1] [--precision default|high|highest]
+
+Writes one JSON line per run to exp/ab_quality/results.jsonl.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--kind", default="sphere")
+    ap.add_argument("--fused", default="auto")
+    ap.add_argument("--precision", default="highest")
+    ap.add_argument("--resolution", type=int, default=256)
+    args = ap.parse_args()
+
+    os.environ["NEURALUDF_FUSED_CORE"] = args.fused
+    os.environ["NEURALUDF_FUSED_PRECISION"] = args.precision
+
+    from neuraludf_tpu.utils import setup_jax
+
+    setup_jax()
+    import dataclasses
+
+    import numpy as np
+
+    from neuraludf_tpu import config as config_mod
+    from neuraludf_tpu.data.synthetic import generate_scene, gt_surface_points
+    from neuraludf_tpu.train.runner import Runner
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene_dir = os.path.join(root, "data", "synthetic", args.kind)
+    if not os.path.exists(os.path.join(scene_dir, "cameras.npz")):
+        generate_scene(scene_dir, kind=args.kind, n_views=16, H=600, W=800, focal=900.0)
+
+    cfg = config_mod.load(os.path.join(root, "confs", "synthetic_smoke.conf"), case=args.kind)
+    cfg = dataclasses.replace(
+        cfg,
+        general=dataclasses.replace(
+            cfg.general, base_exp_dir=os.path.join(root, "exp", "ab_quality", args.tag)
+        ),
+        train=dataclasses.replace(
+            cfg.train, end_iter=args.iters,
+            save_freq=10**9, val_freq=10**9, val_mesh_freq=10**9, report_freq=1000,
+        ),
+    )
+    runner = Runner(cfg, seed=0)
+    t0 = time.time()
+    runner.train()
+    train_s = time.time() - t0
+
+    ply = runner.extract_udf_mesh(world_space=False, resolution=args.resolution,
+                                  dist_threshold_ratio=2.0)
+    from neuraludf_tpu.mesh.ply import load_ply
+
+    verts, faces = load_ply(ply)
+
+    gt = gt_surface_points(args.kind, n=100_000)
+    from scipy.spatial import cKDTree
+
+    # sample mesh surface uniformly-ish: triangle midpoints weighted is
+    # fine at this face count; vertices alone bias to dense regions
+    tri = verts[faces].mean(axis=1)
+    pred = np.concatenate([verts, tri])
+    d_pred_to_gt = cKDTree(gt).query(pred, k=1)[0]
+    d_gt_to_pred = cKDTree(pred).query(gt, k=1)[0]
+    chamfer = 0.5 * (d_pred_to_gt.mean() + d_gt_to_pred.mean())
+
+    row = {
+        "tag": args.tag,
+        "kind": args.kind,
+        "iters": args.iters,
+        "fused": args.fused,
+        "precision": args.precision,
+        "chamfer": round(float(chamfer), 6),
+        "d_pred_to_gt": round(float(d_pred_to_gt.mean()), 6),
+        "d_gt_to_pred": round(float(d_gt_to_pred.mean()), 6),
+        "n_verts": int(len(verts)),
+        "train_s": round(train_s, 1),
+        "it_per_s": round(args.iters / train_s, 1),
+    }
+    out = os.path.join(root, "exp", "ab_quality")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "results.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Flagship-shape golden parity (VERDICT r1 next-round #5): the FULL DTU
+configuration (8x256 UDF with d_out=257, 64+50+32 samples) and the garment
+mix variant (n_importance=80), forward + full-graph gradient, vs the torch
+reference. Small ray batch keeps it fast; the shapes are the production
+ones, so skip-layer indexing and mix-mode rounding are exercised for real."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from neuraludf_tpu.config import (
+    BetaNetworkConfig,
+    ModelConfig,
+    NeRFConfig,
+    RendererConfig,
+    RenderingNetworkConfig,
+    UDFNetworkConfig,
+    VarianceConfig,
+)
+from neuraludf_tpu.render.renderer import RenderOptions, UDFRenderer
+
+from reference_torch import (
+    import_reference,
+    nerf_state_to_jax,
+    residual_color_state_to_jax,
+    to_np,
+    udf_state_to_jax,
+)
+from test_renderer_parity import KEYS, make_rays
+
+ref_fields, ref_renderer_mod, _ = import_reference()
+
+
+def build_flagship_pair(upsampling_type, n_importance, n_outside, use_norm_grad):
+    torch.manual_seed(7)
+    t_udf = ref_fields.UDFNetwork(
+        udf_type="abs", d_in=3, d_out=257, d_hidden=256, n_layers=8, skip_in=[4],
+        multires=6, bias=0.5, scale=1.0, geometric_init=True, weight_norm=True,
+    )
+    t_color = ref_fields.ResidualRenderingNetwork(
+        d_feature=256, mode="no_normal", d_in=6, d_out=3, d_hidden=128, n_layers=4,
+        weight_norm=True, multires_view=4, squeeze_out=True, blending_cand_views=10,
+    )
+    t_nerf = ref_fields.NeRF(
+        D=8, d_in=4, d_in_view=3, W=256, multires=10, multires_view=4,
+        output_ch=4, skips=[4], use_viewdirs=True,
+    )
+    t_var = ref_fields.SingleVarianceNetwork(init_val=0.3)
+    t_beta = ref_fields.BetaNetwork()
+    t_rend = ref_renderer_mod.UDFRendererBlending(
+        t_nerf, t_udf, t_var, t_color, t_beta,
+        n_samples=64, n_importance=n_importance, n_outside=n_outside,
+        up_sample_steps=5, perturb=1.0, sdf2alpha_type="numerical",
+        upsampling_type=upsampling_type, sparse_scale_factor=25000,
+        h_patch_size=3, use_norm_grad_for_cosine=use_norm_grad,
+    )
+
+    mcfg = ModelConfig(
+        nerf=NeRFConfig(),  # defaults are the flagship NeRF (8x256)
+        udf_network=UDFNetworkConfig(),  # flagship UDF (8x256, d_out 257)
+        variance_network=VarianceConfig(init_val=0.3),
+        rendering_network=RenderingNetworkConfig(),
+        beta_network=BetaNetworkConfig(),
+        udf_renderer=RendererConfig(
+            n_samples=64, n_importance=n_importance, n_outside=n_outside,
+            up_sample_steps=5, sdf2alpha_type="numerical",
+            upsampling_type=upsampling_type, use_norm_grad_for_cosine=use_norm_grad,
+        ),
+    )
+    params = {
+        "udf": udf_state_to_jax(t_udf),
+        "color": residual_color_state_to_jax(t_color),
+        "nerf": nerf_state_to_jax(t_nerf),
+        "variance": {"variance": jnp.asarray(t_var.variance.detach().numpy())},
+        "beta": {k: jnp.asarray(getattr(t_beta, k).detach().numpy())
+                 for k in ("beta", "gamma", "zeta")},
+    }
+    return t_rend, UDFRenderer(mcfg), params
+
+
+@pytest.mark.parametrize(
+    "upsampling_type,n_importance,n_outside,use_norm_grad",
+    [
+        ("classical", 50, 32, False),  # DTU flagship (confs/udf_dtu_blending.conf)
+        ("mix", 80, 0, True),          # garment flagship (confs/udf_garment_blending.conf)
+    ],
+    ids=["dtu", "garment"],
+)
+def test_flagship_forward_and_gradient_parity(
+    upsampling_type, n_importance, n_outside, use_norm_grad
+):
+    t_rend, j_rend, params = build_flagship_pair(
+        upsampling_type, n_importance, n_outside, use_norm_grad
+    )
+    rays_o, rays_d, near, far = make_rays(batch=2, seed=3)
+    true_rgb = np.random.RandomState(4).rand(2, 3).astype(np.float32)
+
+    # ---- forward parity
+    ret_t = t_rend.render(
+        torch.from_numpy(rays_o), torch.from_numpy(rays_d),
+        torch.from_numpy(near), torch.from_numpy(far),
+        cos_anneal_ratio=0.6, perturb_overwrite=0, flip_saturation=0.7,
+    )
+
+    def render_j(p):
+        return j_rend.render(
+            p, jnp.asarray(rays_o), jnp.asarray(rays_d),
+            jnp.asarray(near), jnp.asarray(far),
+            key=jax.random.PRNGKey(0), cos_anneal_ratio=0.6, flip_saturation=0.7,
+            opts=RenderOptions(perturb=False, compute_random_sparse=False),
+        )
+
+    ret_j = render_j(params)
+    for k in KEYS:
+        ref_v, our_v = to_np(ret_t[k]), np.asarray(ret_j[k])
+        assert our_v.shape == ref_v.shape, (k, our_v.shape, ref_v.shape)
+        np.testing.assert_allclose(our_v, ref_v, rtol=4e-3, atol=3e-3, err_msg=k)
+
+    # ---- full-graph gradient parity (incl. eikonal double backprop)
+    loss_t = (
+        torch.abs(ret_t["color"] - torch.from_numpy(true_rgb)).mean()
+        + 0.1 * ret_t["gradient_error"]
+        + 0.001 * ret_t["sparse_error"]
+    )
+    loss_t.backward()
+
+    def loss_fn(p):
+        ret = render_j(p)
+        return (
+            jnp.abs(ret["color"] - jnp.asarray(true_rgb)).mean()
+            + 0.1 * ret["gradient_error"]
+            + 0.001 * ret["sparse_error"]
+        )
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=2e-3)
+
+    t_udf = t_rend.udf_network
+    checks = []
+    for l in (0, 3, 4, 8):  # first, pre-skip, post-skip, last — full depth
+        lin = getattr(t_udf, f"lin{l}")
+        checks.append((f"udf.lin{l}.v", lin.weight_v.grad.numpy().T,
+                       grads["udf"][f"lin{l}"]["v"]))
+        checks.append((f"udf.lin{l}.b", lin.bias.grad.numpy(),
+                       grads["udf"][f"lin{l}"]["b"]))
+    checks.append(("variance", t_rend.deviation_network.variance.grad.numpy(),
+                   grads["variance"]["variance"]))
+    checks.append(("beta", t_rend.beta_network.beta.grad.numpy(),
+                   grads["beta"]["beta"]))
+    checks.append(("color.base0.v",
+                   t_rend.color_network.lin_base0.weight_v.grad.numpy().T,
+                   grads["color"]["base"]["lin0"]["v"]))
+
+    for name, ref_g, our_g in checks:
+        our_g = np.asarray(our_g)
+        assert our_g.shape == ref_g.shape, name
+        scale = np.abs(ref_g).max() + 1e-8
+        np.testing.assert_allclose(
+            our_g / scale, ref_g / scale, rtol=5e-2, atol=5e-3,
+            err_msg=f"gradient mismatch: {name}",
+        )
