@@ -84,15 +84,27 @@ def _trace(rays_o, rays_d, kind: str):
     return hit, pts, normals
 
 
+_LIGHT = np.array([0.48, 0.6, -0.64], np.float32)
+_LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+
 def _shade(pts, normals, rays_d, hit):
-    """Checkerboard albedo + headlight Lambertian, [N, 3] in [0, 1]."""
+    """Checkerboard albedo + fixed-light double-sided Lambertian, [N, 3].
+
+    View-INDEPENDENT surface color: every camera sees the same radiance at
+    a surface point, so the photometric loss pins depth unambiguously (a
+    headlight term would make the target color a function of the viewing
+    ray and slow geometric convergence)."""
     u = np.arctan2(pts[:, 2], pts[:, 0])
     v = np.arccos(np.clip(pts[:, 1] / SPHERE_RADIUS, -1.0, 1.0))
     checker = (np.floor(u / np.pi * 4.0) + np.floor(v / np.pi * 4.0)) % 2.0
     c0 = np.array([0.25, 0.35, 0.75], np.float32)  # BGR-ish warm
     c1 = np.array([0.70, 0.55, 0.25], np.float32)
     albedo = np.where(checker[:, None] > 0.5, c0[None], c1[None])
-    lambert = np.abs(np.sum(normals * rays_d, axis=-1, keepdims=True))
+    # double-sided so the inside of the open shell is lit too; the geometric
+    # normal (not the flipped one) keeps it view-independent
+    n_geo = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-8)
+    lambert = np.abs(n_geo @ _LIGHT)[:, None]
     color = albedo * (0.35 + 0.65 * lambert)
     # smooth direction-dependent background (learnable by the NeRF bg net)
     bg = 0.12 + 0.25 * np.abs(rays_d)

@@ -29,6 +29,10 @@ def main():
     os.environ["NEURALUDF_FUSED_CORE"] = args.fused
     os.environ["NEURALUDF_FUSED_PRECISION"] = args.precision
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+
     from neuraludf_tpu.utils import setup_jax
 
     setup_jax()
@@ -60,6 +64,11 @@ def main():
     t0 = time.time()
     runner.train()
     train_s = time.time() - t0
+    runner.save_checkpoint()
+    try:
+        runner.validate(idx=0, resolution_level=2)
+    except Exception as e:
+        print("validate failed:", e)
 
     ply = runner.extract_udf_mesh(world_space=False, resolution=args.resolution,
                                   dist_threshold_ratio=2.0)
