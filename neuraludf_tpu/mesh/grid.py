@@ -133,3 +133,58 @@ def udf_and_normals_grid(
 
 def query_udf_at(params, cfg: UDFNetworkConfig, pts: np.ndarray) -> np.ndarray:
     return _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts.astype(np.float32))
+
+
+def _linear_to_points(idx: np.ndarray, N: int) -> np.ndarray:
+    k = (idx % N).astype(np.float32)
+    j = ((idx // N) % N).astype(np.float32)
+    i = (idx // (N * N)).astype(np.float32)
+    return np.stack([i, j, k], axis=-1) / (N - 1) * 2.0 - 1.0
+
+
+def udf_and_normals_grid_incremental(
+    params, cfg: UDFNetworkConfig, resolution: int, cache: dict | None = None
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Incremental MeshUDF grid fill (ref: extract_mesh.py:108-166).
+
+    On the first call (or cache mismatch) this is a full fill; on later
+    calls only the cached `indices` — the voxels surrounding the previous
+    extraction's surface — are re-queried (UDF value + negated normalized
+    gradient), on the assumption that the field changed little between
+    extractions. Returns (udf [N³], normals [N³,3], cache); pass the cache
+    back in, after `meshudf.next_update_indices` has refreshed its
+    "indices" entry.
+    """
+    N = resolution
+    if (
+        cache is None
+        or cache.get("indices") is None
+        or cache.get("udf") is None
+        or cache["udf"].size != N ** 3
+    ):
+        udf3, nrm3 = udf_and_normals_grid(params, cfg, N)
+        cache = {
+            "udf": udf3.reshape(-1).copy(),
+            "normals": nrm3.reshape(-1, 3).copy(),
+            "indices": None,
+        }
+        return udf3, nrm3, cache
+
+    idx = np.unique(np.asarray(cache["indices"], np.int64))
+    idx = idx[(idx >= 0) & (idx < N ** 3)]
+    pts = _linear_to_points(idx, N)
+    new_udf = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts)
+    cache["udf"][idx] = new_udf
+    g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts)
+    # keep the slow-fill contract (gradients only inside the 2-voxel band,
+    # zero elsewhere) so an unchanged field re-extracts identically; the
+    # reference writes gradients at every re-queried index regardless
+    # (ref: extract_mesh.py:159) — a fringe-band delta only
+    voxel_size = 2.0 / (N - 1)
+    band = (new_udf < 2 * voxel_size)[:, None]
+    cache["normals"][idx] = np.where(band, -g, 0.0)
+    return (
+        cache["udf"].reshape(N, N, N),
+        cache["normals"].reshape(N, N, N, 3),
+        cache,
+    )

@@ -22,6 +22,26 @@ from . import process
 from .mc import marching_cubes_udf
 
 
+def next_update_indices(verts: np.ndarray, resolution: int) -> np.ndarray:
+    """Linear grid indices to re-query at the next incremental extraction:
+    the voxel of every mesh vertex plus its 6 axis neighbors
+    (ref: extract_mesh.py:289-304)."""
+    N = resolution
+    voxel_size = 2.0 / (N - 1)
+    ijk = np.clip(((verts + 1.0) / voxel_size).astype(np.int64), 0, N - 1)
+    i, j, k = ijk[:, 0], ijk[:, 1], ijk[:, 2]
+    lin = lambda a, b, c: a * N * N + b * N + c
+    return np.concatenate([
+        lin(i, j, k),
+        lin(np.minimum(i + 1, N - 1), j, k),
+        lin(i, np.minimum(j + 1, N - 1), k),
+        lin(i, j, np.minimum(k + 1, N - 1)),
+        lin(np.maximum(i - 1, 0), j, k),
+        lin(i, np.maximum(j - 1, 0), k),
+        lin(i, j, np.maximum(k - 1, 0)),
+    ])
+
+
 def get_mesh_udf(
     params,
     cfg: UDFNetworkConfig,
@@ -31,12 +51,26 @@ def get_mesh_udf(
     dist_threshold_ratio: float = 1.0,
     smooth: bool = True,
     refine: bool = True,
+    cache: dict = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (verts [V,3] in normalized scene coords, faces [F,3])."""
+    """Returns (verts [V,3] in normalized scene coords, faces [F,3]).
+
+    Pass a dict as `cache` (persist it between calls) to enable the
+    incremental grid re-query between successive extractions of the same
+    field (ref: extract_mesh.py:108-166): after the first full fill, only
+    voxels around the previous surface are re-evaluated.
+    """
     N = resolution
     voxel_size = 2.0 / (N - 1)
 
-    udf, normals = grid_mod.udf_and_normals_grid(params, cfg, N)
+    if cache is not None:
+        udf, normals, new_cache = grid_mod.udf_and_normals_grid_incremental(
+            params, cfg, N, cache if cache else None
+        )
+        cache.clear()
+        cache.update(new_cache)
+    else:
+        udf, normals = grid_mod.udf_and_normals_grid(params, cfg, N)
     udf = np.maximum(udf, 0.0)
 
     verts, faces = marching_cubes_udf(udf, normals, voxel_size)
@@ -65,5 +99,8 @@ def get_mesh_udf(
         s1 = grid_mod.query_udf_at(params, cfg, verts + eps * n)
         s2 = grid_mod.query_udf_at(params, cfg, verts - eps * n)
         verts = verts + eps * (s2 - s1)[:, None] * n
+
+    if cache is not None and len(verts):
+        cache["indices"] = next_update_indices(np.asarray(verts), N)
 
     return verts.astype(np.float32), faces.astype(np.int32)

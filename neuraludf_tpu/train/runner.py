@@ -416,6 +416,39 @@ class Runner:
 
         return render_chunk
 
+    def _render_val_window_fn(self, pixel_blending: bool, n_chunks: int):
+        """Full-frame validation as ONE dispatch per `n_chunks` chunks: a
+        lax.scan over the chunk renderer, with the per-pixel normal
+        reduction done in-graph so only [C, bs, {3,3,3,1}] image rows cross
+        the host boundary (the eager path hauled [bs, n_samples, 3]
+        gradient tensors per chunk over the TPU tunnel)."""
+        chunk = self._render_chunk_fn(pixel_blending)
+        n_fg = self.renderer.n_fg_samples()
+
+        @jax.jit
+        def window(params, rays_o, rays_d, near, far, keys, cos_anneal,
+                   scene, ref_src_pairs, img_idx):
+            def body(_, xs):
+                ro, rd, nr, fr, k = xs
+                ret = chunk(params, ro, rd, nr, fr, k, cos_anneal,
+                            scene, ref_src_pairs, img_idx)
+                normal = jnp.sum(
+                    ret["gradients_flip"]
+                    * ret["weights"][:, :n_fg, None]
+                    * ret["inside_sphere"][..., None],
+                    axis=1,
+                )
+                color_pixel = (
+                    ret["color_pixel"] if ret.get("color_pixel") is not None
+                    else jnp.zeros_like(ret["color"])
+                )
+                return None, (ret["color"], color_pixel, normal, ret["depth"])
+
+            _, outs = jax.lax.scan(body, None, (rays_o, rays_d, near, far, keys))
+            return outs
+
+        return window
+
     def validate(self, idx: int = -1, resolution_level: int = -1, only_color: bool = False):
         import cv2 as cv
 
@@ -431,42 +464,42 @@ class Runner:
 
         # the pixel-blended pass needs >= 2 views to warp from
         pixel_blending = self.dataset.n_images > 8
-        if not hasattr(self, "_render_chunk"):
-            self._render_chunk = self._render_chunk_fn(pixel_blending=pixel_blending)
 
-        # large validation chunks amortize dispatch latency (the training
-        # batch size is tuned for gradient steps, not inference)
+        # large chunks amortize dispatch latency, and a lax.scan window fuses
+        # several chunks into one dispatch (one transfer per window instead
+        # of four per chunk)
         bs = self.cfg.train.batch_size * 8
         n = rays_o.shape[0]
-        pad = (-n) % bs
+        n_chunks = min(8, -(-n // bs))
+        if not hasattr(self, "_val_windows"):
+            self._val_windows = {}
+        wkey = (pixel_blending, n_chunks)
+        if wkey not in self._val_windows:
+            self._val_windows[wkey] = self._render_val_window_fn(pixel_blending, n_chunks)
+        window_fn = self._val_windows[wkey]
+
+        step_rays = bs * n_chunks
+        pad = (-n) % step_rays
         rays_o_p = np.concatenate([rays_o, np.zeros((pad, 3), np.float32)])
         rays_d_p = np.concatenate([rays_d, np.ones((pad, 3), np.float32)])
 
         cos_anneal = sched_mod.cos_anneal_ratio(self.iter_step, self.cfg.train)
         out_rgb, out_rgb_pixel, out_normal, out_depth = [], [], [], []
-        for i in range(0, n + pad, bs):
-            ro = jnp.asarray(rays_o_p[i : i + bs])
-            rd = jnp.asarray(rays_d_p[i : i + bs])
+        for i in range(0, n + pad, step_rays):
+            ro = jnp.asarray(rays_o_p[i : i + step_rays]).reshape(n_chunks, bs, 3)
+            rd = jnp.asarray(rays_d_p[i : i + step_rays]).reshape(n_chunks, bs, 3)
             near, far = near_far_from_sphere(ro, rd)
             self.rng, k = jax.random.split(self.rng)
-            ret = self._render_chunk(
-                self.params, ro, rd, near, far, k, cos_anneal,
+            keys = jax.random.split(k, n_chunks)
+            color, color_pixel, normal, depth = window_fn(
+                self.params, ro, rd, near, far, keys, cos_anneal,
                 self.dataset.scene, self.dataset.ref_src_pairs, jnp.asarray(idx),
             )
-            out_rgb.append(np.asarray(ret["color"]))
-            if ret.get("color_pixel") is not None:
-                out_rgb_pixel.append(np.asarray(ret["color_pixel"]))
-            out_depth.append(np.asarray(ret["depth"]))
-            n_fg = self.renderer.n_fg_samples()
-            normals = np.asarray(
-                jnp.sum(
-                    ret["gradients_flip"]
-                    * ret["weights"][:, :n_fg, None]
-                    * ret["inside_sphere"][..., None],
-                    axis=1,
-                )
-            )
-            out_normal.append(normals)
+            out_rgb.append(np.asarray(color).reshape(-1, 3))
+            if pixel_blending:
+                out_rgb_pixel.append(np.asarray(color_pixel).reshape(-1, 3))
+            out_normal.append(np.asarray(normal).reshape(-1, 3))
+            out_depth.append(np.asarray(depth).reshape(-1))
 
         img_fine = (np.concatenate(out_rgb)[:n].reshape(H, W, 3) * 256).clip(0, 255)
         normal_img = np.concatenate(out_normal)[:n]
@@ -568,12 +601,22 @@ class Runner:
 
     def extract_udf_mesh(self, world_space: bool = False, resolution: int = 256,
                          dist_threshold_ratio: float = 1.0):
-        """MeshUDF gradient-aware extraction (ref: exp_runner:763-800)."""
+        """MeshUDF gradient-aware extraction (ref: exp_runner:763-800).
+
+        NEURALUDF_INCREMENTAL_MESH=1 enables the incremental grid re-query
+        between periodic extractions (ref capability, extract_mesh.py:108-166:
+        only voxels around the previous surface are re-evaluated). Off by
+        default — matching the reference runner, which always refills."""
         from ..mesh.meshudf import get_mesh_udf
 
+        cache = None
+        if os.environ.get("NEURALUDF_INCREMENTAL_MESH") == "1":
+            if not hasattr(self, "_mesh_caches"):
+                self._mesh_caches = {}
+            cache = self._mesh_caches.setdefault(resolution, {})
         verts, faces = get_mesh_udf(
             self.params, self.cfg.model.udf_network, resolution=resolution,
-            dist_threshold_ratio=dist_threshold_ratio,
+            dist_threshold_ratio=dist_threshold_ratio, cache=cache,
         )
         if world_space:
             sm = self.dataset.scale_mats_np[0]

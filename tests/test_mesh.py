@@ -103,3 +103,44 @@ def test_mesh_cleanup_and_ply_roundtrip(tmp_path):
     v2, f2 = load_ply(p)
     np.testing.assert_allclose(v2, verts.astype(np.float32), rtol=1e-6)
     np.testing.assert_array_equal(f2, faces)
+
+
+def test_incremental_extraction_matches_full():
+    """Incremental grid re-query (ref: extract_mesh.py:108-166): a second
+    extraction through the cache must match a fresh full-fill extraction —
+    exactly when the field is unchanged, closely when it drifted slightly."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuraludf_tpu.config import UDFNetworkConfig
+    from neuraludf_tpu.mesh.meshudf import get_mesh_udf
+    from neuraludf_tpu.nets import fields
+
+    cfg = UDFNetworkConfig(d_out=17, d_hidden=16, n_layers=3, skip_in=(), multires=2)
+    params = {"udf": fields.init_distance_field(jax.random.PRNGKey(0), cfg)}
+    res = 40
+
+    cache = {}
+    v0, f0 = get_mesh_udf(params, cfg, resolution=res, cache=cache)
+    assert len(v0) > 0 and cache.get("indices") is not None
+
+    # unchanged field: cached re-query reproduces the same surface.
+    # (Vertex enumeration is not bit-stable: the host-rebuilt query points
+    # differ from the device-built ones by ~1 ulp, and the sign-vote BFS
+    # ordering cascades; geometry is the contract.)
+    from scipy.spatial import cKDTree
+
+    v1, f1 = get_mesh_udf(params, cfg, resolution=res, cache=cache)
+    voxel = 2.0 / (res - 1)
+    assert abs(len(f1) - len(f0)) < 0.03 * len(f0)
+    d01 = cKDTree(v0).query(v1, k=1)[0]
+    assert d01.mean() < voxel / 100 and d01.max() < voxel, (d01.mean(), d01.max())
+
+    # small parameter drift: incremental tracks the full refill closely
+    drift = jax.tree_util.tree_map(
+        lambda x: x + 1e-3 * jax.random.normal(jax.random.PRNGKey(1), x.shape), params
+    )
+    vi, fi = get_mesh_udf(drift, cfg, resolution=res, cache=cache)
+    vf, ff = get_mesh_udf(drift, cfg, resolution=res)  # full fill
+    d = cKDTree(vf).query(vi, k=1)[0]
+    assert d.mean() < voxel / 4, float(d.mean())
