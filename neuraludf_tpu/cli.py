@@ -53,9 +53,9 @@ def main(argv=None):
     setup_jax()
 
     if args.multihost:
-        import jax
+        from .parallel import multihost
 
-        jax.distributed.initialize()
+        multihost.initialize()
 
     from . import config as config_mod
     from .train.runner import Runner

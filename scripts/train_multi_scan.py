@@ -23,11 +23,27 @@ def main():
     p.add_argument("--report_freq", type=int, default=100)
     p.add_argument("--out_dir", type=str, default="./exp/multi_scan")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod: initialize jax.distributed and train "
+                        "this process's contiguous share of --cases")
     args = p.parse_args()
 
     from neuraludf_tpu.utils import setup_jax
 
     setup_jax()
+
+    if args.multihost:
+        import jax
+
+        from neuraludf_tpu.parallel import multihost
+
+        multihost.initialize()
+        args.cases = multihost.shard_scans(
+            args.cases, jax.process_index(), jax.process_count()
+        )
+        if not args.cases:
+            print("no scans assigned to this host")
+            return
 
     import pickle
 
@@ -47,9 +63,16 @@ def main():
         cfg.dataset.data_dir.replace(args.cases[0], case) for case in args.cases
     ]
 
-    n_dev = len(jax.devices())
-    assert len(args.cases) % n_dev == 0 or n_dev % len(args.cases) == 0 or True
-    mesh = make_mesh(min(n_dev, len(args.cases)))
+    if args.multihost:
+        # scans were partitioned per host: each process trains its share on
+        # its LOCAL chips, zero cross-host traffic (scans are independent)
+        from jax.sharding import Mesh
+
+        devs = jax.local_devices()
+        mesh = Mesh(np.array(devs[: min(len(devs), len(args.cases))]), ("data",))
+    else:
+        n_dev = len(jax.devices())
+        mesh = make_mesh(min(n_dev, len(args.cases)))
     print(f"training {len(args.cases)} scans over mesh {mesh.shape}")
 
     params, opt_state, metrics = multi_scan_train(
