@@ -104,3 +104,68 @@ def get_mesh_udf(
         cache["indices"] = next_update_indices(np.asarray(verts), N)
 
     return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def differentiable_vertices(
+    params,
+    cfg: UDFNetworkConfig,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    *,
+    eps: float = 0.005,
+    border_gradients: bool = False,
+):
+    """Differentiable mesh vertices for mesh-optimization workflows.
+
+    The MeshUDF re-plug trick (ref: extract_mesh.py:276-287): v' =
+    v - eps*f(v+eps*n)*n + eps*f(v-eps*n)*n, evaluated through the live
+    field so d(v')/d(params) flows (the reference evaluates under no_grad,
+    making its version value-only). With `border_gradients`, rim vertices
+    additionally get the reference's tangential term (ref: :306-352):
+    s_border = eps*(out_df - stop_gradient(out_df)) — value-wise zero,
+    but it routes gradient from the border UDF values into the vertex
+    positions along the outward rim direction.
+
+    Returns a jnp array [V,3]; intended for eager (non-jit) use on the
+    concrete meshes produced by get_mesh_udf.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..nets import fields
+
+    n = jnp.asarray(process.vertex_normals(np.asarray(verts), np.asarray(faces)))
+    v = jnp.asarray(verts, jnp.float32)
+    udf = lambda pts: fields.distance_value(params, pts, cfg)
+    s1 = udf(v + eps * n)
+    s2 = udf(v - eps * n)
+    new_verts = v - eps * s1 * n + eps * s2 * n
+
+    if border_gradients:
+        faces_np = np.asarray(faces)
+        e = np.concatenate([faces_np[:, [0, 1]], faces_np[:, [1, 2]], faces_np[:, [2, 0]]])
+        e = np.sort(e, axis=1)
+        uniq, idx, counts = np.unique(e, axis=0, return_index=True, return_counts=True)
+        border = uniq[counts == 1]
+        if len(border):
+            # one border edge per border vertex (ref: :311-318)
+            d = {}
+            for u_, v_ in border:
+                d[int(u_)] = int(v_)
+                d[int(v_)] = int(u_)
+            uv = np.array(list(d.items()), np.int64)
+            u_b, v_b = uv[:, 0], uv[:, 1]
+            edge = jnp.asarray(verts[v_b] - verts[u_b], jnp.float32)
+            out_vec = jnp.cross(edge, n[u_b])
+            out_vec = out_vec / (jnp.linalg.norm(out_vec, axis=1, keepdims=True) + 1e-6)
+            vb = jnp.asarray(verts[u_b], jnp.float32)
+            s1b = udf(vb + 3 * eps * out_vec)
+            s2b = udf(vb - 3 * eps * out_vec)
+            sign = (-jnp.argmax(jnp.stack([s1b, s2b]), axis=0) * 2 + 1).astype(jnp.float32)
+            out_vec = sign * out_vec
+            keep = np.asarray(jax.lax.stop_gradient(s1b + s2b))[:, 0] > eps  # real rims only
+            if keep.any():
+                out_df = jnp.maximum(s1b, s2b)[keep]
+                s_border = eps * (out_df - jax.lax.stop_gradient(out_df))
+                new_verts = new_verts.at[u_b[keep]].add(-s_border * out_vec[keep])
+    return new_verts
