@@ -8,6 +8,13 @@ external data is needed for the test suite or bench.py. Two kinds:
 * ``capsule`` — open surface: the same sphere with the cap above y = 0.2
   removed (an open half-shell with a rim), exercising the UDF open-surface
   path end-to-end.
+* ``lobed``   — the quality-benchmark scene: a three-lobed star-shaped
+  shell (r(θ,φ) modulated by azimuthal harmonics) with the cap above
+  y = 0.28 removed. Non-trivial topology (open rim), curvature of both
+  signs, checkerboard texture under two fixed lights, ray-traced exactly
+  via per-crossing bisection on the implicit f(x) = |x| − r(x/|x|).
+  Rendered at 49 DTU-like views, 1600×1200 (the DTU rig scale,
+  ref docs: 49/64-view scans at 1600×1200).
 
 The reference ships no synthetic scenes (it trains on DTU/DeepFashion3D
 only); this module is the framework's hermetic stand-in for those datasets.
@@ -22,6 +29,87 @@ import numpy as np
 
 SPHERE_RADIUS = 0.5
 CAPSULE_CUT_Y = 0.2
+LOBED_CUT_Y = 0.28
+
+
+def lobed_radius(dirs: np.ndarray) -> np.ndarray:
+    """Star-shaped radius field r(d) of the ``lobed`` benchmark shell.
+
+    Three azimuthal lobes plus a higher-frequency ripple; bounded to
+    [0.32, 0.52] so the shape stays strictly inside the unit sphere and
+    strictly star-shaped (single radius per direction)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    phi = np.arctan2(z, x)
+    s2 = np.clip(1.0 - y * y, 0.0, 1.0)  # sin^2(theta)
+    r = (
+        0.40
+        + 0.055 * np.sin(3.0 * phi) * s2
+        + 0.040 * np.cos(2.0 * phi + 1.0) * y * np.sqrt(s2)
+        + 0.020 * np.cos(7.0 * phi) * s2 * s2
+    )
+    return r.astype(np.float32)
+
+
+def _lobed_f(pts: np.ndarray) -> np.ndarray:
+    """Implicit function of the closed lobed surface: f<0 inside."""
+    rad = np.linalg.norm(pts, axis=-1)
+    d = pts / np.maximum(rad[..., None], 1e-9)
+    return (rad - lobed_radius(d)).astype(np.float32)
+
+
+def _lobed_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    """Geometric (unoriented) normal of the lobed surface via central
+    differences of the implicit function."""
+    n = np.empty_like(pts)
+    for a in range(3):
+        off = np.zeros((1, 3), np.float32)
+        off[0, a] = eps
+        n[:, a] = _lobed_f(pts + off) - _lobed_f(pts - off)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return n
+
+
+def _trace_lobed(rays_o, rays_d, n_steps: int = 256, max_crossings: int = 4):
+    """Exact open-shell trace: walk the bounding-sphere span, bisect every
+    sign change of f in order, keep the first crossing that survives the
+    cap cut (a ray through the hole legitimately hits the INNER wall).
+    Returns (hit, points, normals)."""
+    N = rays_o.shape[0]
+    b = np.sum(rays_o * rays_d, axis=-1)
+    c = np.sum(rays_o * rays_o, axis=-1) - 0.6 * 0.6
+    disc = b * b - c
+    span = disc > 0.0
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t0, t1 = np.maximum(-b - sq, 0.0), np.maximum(-b + sq, 0.0)
+
+    ts = t0[:, None] + (t1 - t0)[:, None] * np.linspace(0.0, 1.0, n_steps, dtype=np.float32)[None]
+    fs = _lobed_f(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :])
+    sign_change = (fs[:, :-1] * fs[:, 1:] < 0.0) & span[:, None]
+    order = np.cumsum(sign_change, axis=1)  # 1-based index of each crossing
+
+    hit = np.zeros(N, bool)
+    pts = np.full((N, 3), 2.0, np.float32)
+    for k in range(1, max_crossings + 1):
+        todo = ~hit & (order[:, -1] >= k)
+        if not todo.any():
+            break
+        idx = np.argmax(sign_change & (order == k), axis=1)
+        lo = np.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
+        hi = np.take_along_axis(ts, idx[:, None] + 1, axis=1)[:, 0]
+        flo = np.take_along_axis(fs, idx[:, None], axis=1)[:, 0]
+        for _ in range(40):
+            mid = 0.5 * (lo + hi)
+            fm = _lobed_f(rays_o + mid[:, None] * rays_d)
+            same = (fm * flo) > 0.0
+            lo = np.where(same, mid, lo)
+            flo = np.where(same, fm, flo)
+            hi = np.where(same, hi, mid)
+        p = rays_o + (0.5 * (lo + hi))[:, None] * rays_d
+        ok = todo & (p[:, 1] <= LOBED_CUT_Y)
+        pts = np.where(ok[:, None], p, pts)
+        hit |= ok
+    normals = np.where(hit[:, None], _lobed_normal(pts), 0.0).astype(np.float32)
+    return hit, pts, normals
 
 
 def look_at_pose(
@@ -44,13 +132,15 @@ def look_at_pose(
 
 
 def _camera_ring(n_views: int, dist: float = 2.2) -> np.ndarray:
+    """Camera centers on a sphere of radius `dist`: a ring with strongly
+    alternating elevations (up to ~±30°) so the top of the object is
+    actually observed — a flat equatorial ring leaves the poles
+    unconstrained and the reconstruction free to collapse there."""
     locs = []
     for i in range(n_views):
         ang = 2.0 * np.pi * i / n_views
-        d = np.array(
-            [np.sin(ang), 0.3 * np.sin(2.0 * ang + 0.7) + 0.15, -np.cos(ang)],
-            np.float32,
-        )
+        elev = 0.45 * np.sin(2.0 * ang + 0.7) + 0.12
+        d = np.array([np.sin(ang), elev, -np.cos(ang)], np.float32)
         locs.append(d / np.linalg.norm(d) * dist)
     return np.stack(locs)
 
@@ -84,8 +174,24 @@ def _trace(rays_o, rays_d, kind: str):
     return hit, pts, normals
 
 
+def _camera_rig_dtu(n_views: int = 49, dist: float = 2.2) -> np.ndarray:
+    """DTU-like rig: `n_views` cameras on a golden-angle spiral over a
+    spherical band (elevation ≈ −12°…58°), the coverage pattern of the
+    DTU robot arm (49 positions above/around the table)."""
+    ga = np.pi * (3.0 - np.sqrt(5.0))
+    i = np.arange(n_views, dtype=np.float32)
+    elev = np.deg2rad(-12.0 + (58.0 - (-12.0)) * (i + 0.5) / n_views)
+    az = ga * i
+    d = np.stack(
+        [np.cos(elev) * np.sin(az), np.sin(elev), -np.cos(elev) * np.cos(az)], axis=-1
+    ).astype(np.float32)
+    return d * dist
+
+
 _LIGHT = np.array([0.48, 0.6, -0.64], np.float32)
 _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+_LIGHT2 = np.array([-0.55, 0.25, 0.55], np.float32)
+_LIGHT2 = _LIGHT2 / np.linalg.norm(_LIGHT2)
 
 
 def _shade(pts, normals, rays_d, hit):
@@ -111,6 +217,26 @@ def _shade(pts, normals, rays_d, hit):
     return np.where(hit[:, None], color, bg)
 
 
+def _shade_lobed(pts, normals, rays_d, hit):
+    """Benchmark-scene shading: finer checkerboard + smooth hue drift,
+    two fixed lights + ambient (view-independent, double-sided)."""
+    u = np.arctan2(pts[:, 2], pts[:, 0])
+    rad = np.maximum(np.linalg.norm(pts, axis=-1), 1e-9)
+    v = np.arccos(np.clip(pts[:, 1] / rad, -1.0, 1.0))
+    checker = (np.floor(u / np.pi * 6.0) + np.floor(v / np.pi * 6.0)) % 2.0
+    c0 = np.array([0.22, 0.38, 0.78], np.float32)
+    c1 = np.array([0.72, 0.58, 0.22], np.float32)
+    albedo = np.where(checker[:, None] > 0.5, c0[None], c1[None])
+    # low-frequency hue drift so texture is informative at every scale
+    drift = 0.5 + 0.5 * np.sin(2.0 * u + 3.0 * v)
+    albedo = albedo * (0.75 + 0.25 * drift[:, None])
+    l1 = np.abs(normals @ _LIGHT)[:, None]
+    l2 = np.abs(normals @ _LIGHT2)[:, None]
+    color = albedo * (0.28 + 0.52 * l1 + 0.20 * l2)
+    bg = 0.12 + 0.25 * np.abs(rays_d)
+    return np.where(hit[:, None], color, bg)
+
+
 def generate_scene(
     out_dir: str,
     kind: str = "sphere",
@@ -122,7 +248,7 @@ def generate_scene(
     """Ray-trace and write an IDR-layout scene directory."""
     import cv2 as cv
 
-    assert kind in ("sphere", "capsule"), kind
+    assert kind in ("sphere", "capsule", "lobed"), kind
     os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
 
@@ -138,13 +264,25 @@ def generate_scene(
     dirs_cam = pix @ K_inv.T
     dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
 
+    rig = _camera_rig_dtu(n_views) if kind == "lobed" else _camera_ring(n_views)
     cams = {}
-    for i, loc in enumerate(_camera_ring(n_views)):
+    for i, loc in enumerate(rig):
         pose = look_at_pose(loc)
         rays_d = dirs_cam @ pose[:3, :3].T
         rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
-        hit, pts, normals = _trace(rays_o, rays_d, kind)
-        color = _shade(pts, normals, rays_d, hit)
+        if kind == "lobed":
+            # chunked: the sign-change scan holds [chunk, n_steps] floats
+            hs, ps, ns = [], [], []
+            for s in range(0, len(rays_d), 200_000):
+                h, p, n = _trace_lobed(rays_o[s : s + 200_000], rays_d[s : s + 200_000])
+                hs.append(h), ps.append(p), ns.append(n)
+            hit = np.concatenate(hs)
+            pts = np.concatenate(ps)
+            normals = np.concatenate(ns)
+            color = _shade_lobed(pts, normals, rays_d, hit)
+        else:
+            hit, pts, normals = _trace(rays_o, rays_d, kind)
+            color = _shade(pts, normals, rays_d, hit)
 
         img = (color.reshape(H, W, 3) * 255.0).clip(0, 255).astype(np.uint8)
         msk = (hit.reshape(H, W).astype(np.uint8) * 255)[..., None].repeat(3, axis=-1)
@@ -160,8 +298,12 @@ def generate_scene(
 def gt_surface_points(kind: str, n: int = 200_000, seed: int = 0) -> np.ndarray:
     """Exact GT surface samples (for Chamfer evaluation of trained scenes)."""
     rng = np.random.RandomState(seed)
-    v = rng.normal(size=(int(n * 1.6), 3))
+    v = rng.normal(size=(int(n * 2.0), 3))
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
     if kind == "capsule":
         v = v[v[:, 1] <= CAPSULE_CUT_Y / SPHERE_RADIUS * 1.0]
+    if kind == "lobed":
+        p = v * lobed_radius(v)[:, None]
+        p = p[p[:, 1] <= LOBED_CUT_Y]
+        return p[:n].astype(np.float32)
     return (v[:n] * SPHERE_RADIUS).astype(np.float32)

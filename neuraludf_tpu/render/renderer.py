@@ -60,15 +60,14 @@ class UDFRenderer:
     # -- helpers ------------------------------------------------------------
 
     def udf_fn(self, params: Params):
-        """Sampling-tier distance queries (no-grad upsampling rounds)."""
-        import os
+        """Sampling-tier distance queries (no-grad upsampling rounds).
 
+        Stays on plain XLA: a VMEM-resident Pallas kernel was measured
+        SLOWER than XLA's emitter for the value-only pass (3.5 vs 2.5 ms at
+        58k points, bf16 tier) — without the nested-AD activation traffic
+        there is nothing for kernel fusion to save (cf. ops/fused_distance
+        for the gradient path, where fusion wins 2x)."""
         ucfg = self.cfg.udf_network
-        if os.environ.get("NEURALUDF_FUSED_SAMPLING") == "1":
-            from ..ops.pallas_mlp import _supported, distance_value_fused
-
-            if _supported(ucfg):
-                return lambda pts: distance_value_fused(params["udf"], pts, ucfg)
         return lambda pts: fields.distance_value(params["udf"], pts, ucfg, role="sampling")[:, 0]
 
     def n_fg_samples(self) -> int:
