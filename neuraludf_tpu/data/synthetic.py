@@ -39,13 +39,17 @@ def lobed_radius(dirs: np.ndarray) -> np.ndarray:
     [0.32, 0.52] so the shape stays strictly inside the unit sphere and
     strictly star-shaped (single radius per direction)."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    phi = np.arctan2(z, x)
-    s2 = np.clip(1.0 - y * y, 0.0, 1.0)  # sin^2(theta)
+    # real-spherical-harmonic polynomials of the unit direction (trig-free:
+    # the tracer evaluates this ~10^8 times per scene on one CPU core):
+    #   3x²z−z³ = sin(3φ)·sin³θ (three lobes),
+    #   y(x²−z²) = cosθ·cos(2φ)·sin²θ (tilt),
+    #   x⁴−6x²z²+z⁴ = cos(4φ)·sin⁴θ (ripple)
+    x2, z2 = x * x, z * z
     r = (
         0.40
-        + 0.055 * np.sin(3.0 * phi) * s2
-        + 0.040 * np.cos(2.0 * phi + 1.0) * y * np.sqrt(s2)
-        + 0.020 * np.cos(7.0 * phi) * s2 * s2
+        + 0.055 * (3.0 * x2 * z - z2 * z)
+        + 0.070 * y * (x2 - z2)
+        + 0.020 * (x2 * x2 - 6.0 * x2 * z2 + z2 * z2)
     )
     return r.astype(np.float32)
 
@@ -69,46 +73,58 @@ def _lobed_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
     return n
 
 
-def _trace_lobed(rays_o, rays_d, n_steps: int = 256, max_crossings: int = 4):
+def _trace_lobed(rays_o, rays_d, n_steps: int = 192, max_crossings: int = 4):
     """Exact open-shell trace: walk the bounding-sphere span, bisect every
     sign change of f in order, keep the first crossing that survives the
     cap cut (a ray through the hole legitimately hits the INNER wall).
-    Returns (hit, points, normals)."""
+    Returns (hit, points, normals). All dense work is subset to the rays
+    that intersect the r=0.6 bounding sphere (~20% of a full frame)."""
     N = rays_o.shape[0]
     b = np.sum(rays_o * rays_d, axis=-1)
     c = np.sum(rays_o * rays_o, axis=-1) - 0.6 * 0.6
     disc = b * b - c
-    span = disc > 0.0
-    sq = np.sqrt(np.maximum(disc, 0.0))
-    t0, t1 = np.maximum(-b - sq, 0.0), np.maximum(-b + sq, 0.0)
-
-    ts = t0[:, None] + (t1 - t0)[:, None] * np.linspace(0.0, 1.0, n_steps, dtype=np.float32)[None]
-    fs = _lobed_f(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :])
-    sign_change = (fs[:, :-1] * fs[:, 1:] < 0.0) & span[:, None]
-    order = np.cumsum(sign_change, axis=1)  # 1-based index of each crossing
-
+    span = np.flatnonzero(disc > 0.0)
     hit = np.zeros(N, bool)
     pts = np.full((N, 3), 2.0, np.float32)
+    if len(span) == 0:
+        return hit, pts, np.zeros((N, 3), np.float32)
+
+    o, d = rays_o[span], rays_d[span]
+    sq = np.sqrt(disc[span])
+    t0 = np.maximum(-b[span] - sq, 0.0)
+    t1 = np.maximum(-b[span] + sq, 0.0)
+    ts = t0[:, None] + (t1 - t0)[:, None] * np.linspace(0.0, 1.0, n_steps, dtype=np.float32)[None]
+    fs = _lobed_f(o[:, None, :] + ts[..., None] * d[:, None, :])
+    sign_change = fs[:, :-1] * fs[:, 1:] < 0.0
+    order = np.cumsum(sign_change, axis=1)  # 1-based index of each crossing
+
+    s_hit = np.zeros(len(span), bool)
+    s_pts = np.full((len(span), 3), 2.0, np.float32)
     for k in range(1, max_crossings + 1):
-        todo = ~hit & (order[:, -1] >= k)
-        if not todo.any():
+        todo = np.flatnonzero(~s_hit & (order[:, -1] >= k))
+        if len(todo) == 0:
             break
-        idx = np.argmax(sign_change & (order == k), axis=1)
-        lo = np.take_along_axis(ts, idx[:, None], axis=1)[:, 0]
-        hi = np.take_along_axis(ts, idx[:, None] + 1, axis=1)[:, 0]
-        flo = np.take_along_axis(fs, idx[:, None], axis=1)[:, 0]
-        for _ in range(40):
+        idx = np.argmax(sign_change[todo] & (order[todo] == k), axis=1)
+        lo = ts[todo, idx]
+        hi = ts[todo, idx + 1]
+        flo = fs[todo, idx]
+        ot, dt = o[todo], d[todo]
+        for _ in range(22):  # (t1-t0)/n_steps / 2^22 ~ 1e-9 — exact
             mid = 0.5 * (lo + hi)
-            fm = _lobed_f(rays_o + mid[:, None] * rays_d)
+            fm = _lobed_f(ot + mid[:, None] * dt)
             same = (fm * flo) > 0.0
             lo = np.where(same, mid, lo)
             flo = np.where(same, fm, flo)
             hi = np.where(same, hi, mid)
-        p = rays_o + (0.5 * (lo + hi))[:, None] * rays_d
-        ok = todo & (p[:, 1] <= LOBED_CUT_Y)
-        pts = np.where(ok[:, None], p, pts)
-        hit |= ok
-    normals = np.where(hit[:, None], _lobed_normal(pts), 0.0).astype(np.float32)
+        p = ot + (0.5 * (lo + hi))[:, None] * dt
+        ok = p[:, 1] <= LOBED_CUT_Y
+        s_pts[todo[ok]] = p[ok]
+        s_hit[todo[ok]] = True
+    pts[span] = s_pts
+    hit[span] = s_hit
+    normals = np.zeros((N, 3), np.float32)
+    if s_hit.any():
+        normals[span[s_hit]] = _lobed_normal(s_pts[s_hit])
     return hit, pts, normals
 
 
@@ -193,8 +209,38 @@ _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
 _LIGHT2 = np.array([-0.55, 0.25, 0.55], np.float32)
 _LIGHT2 = _LIGHT2 / np.linalg.norm(_LIGHT2)
 
+ENV_RADIUS = 4.0
 
-def _shade(pts, normals, rays_d, hit):
+
+def _env_background(rays_o, rays_d):
+    """3D-CONSISTENT background: a textured environment sphere at r=4.
+
+    A purely direction-dependent backdrop is degenerate for womask
+    training — the background NeRF can then paint the object's outer
+    annulus (rim pixels are grazing directions unique to one view) and the
+    foreground geometry shrinks; measured on the old backdrop: the sphere
+    reconstructed at r=0.417±0.044 instead of 0.5 (Chamfer 0.081). A
+    world-anchored texture pins every background ray the way DTU's real
+    table/backdrop geometry does."""
+    b = np.sum(rays_o * rays_d, axis=-1)
+    c = np.sum(rays_o * rays_o, axis=-1) - ENV_RADIUS * ENV_RADIUS
+    t = -b + np.sqrt(np.maximum(b * b - c, 0.0))  # camera is inside: far root
+    p = rays_o + t[..., None] * rays_d
+    u = np.arctan2(p[..., 2], p[..., 0])
+    v = np.arccos(np.clip(p[..., 1] / ENV_RADIUS, -1.0, 1.0))
+    checker = (np.floor(u / np.pi * 8.0) + np.floor(v / np.pi * 8.0)) % 2.0
+    base = np.stack(
+        [
+            0.30 + 0.16 * np.sin(2.0 * u) * np.sin(v),
+            0.28 + 0.14 * np.sin(3.0 * v + 1.0),
+            0.32 + 0.16 * np.cos(2.0 * u + 0.5) * np.sin(v),
+        ],
+        axis=-1,
+    )
+    return (base * (0.85 + 0.3 * checker[..., None])).astype(np.float32)
+
+
+def _shade(pts, normals, rays_o, rays_d, hit):
     """Checkerboard albedo + fixed-light double-sided Lambertian, [N, 3].
 
     View-INDEPENDENT surface color: every camera sees the same radiance at
@@ -212,12 +258,10 @@ def _shade(pts, normals, rays_d, hit):
     n_geo = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-8)
     lambert = np.abs(n_geo @ _LIGHT)[:, None]
     color = albedo * (0.35 + 0.65 * lambert)
-    # smooth direction-dependent background (learnable by the NeRF bg net)
-    bg = 0.12 + 0.25 * np.abs(rays_d)
-    return np.where(hit[:, None], color, bg)
+    return np.where(hit[:, None], color, _env_background(rays_o, rays_d))
 
 
-def _shade_lobed(pts, normals, rays_d, hit):
+def _shade_lobed(pts, normals, rays_o, rays_d, hit):
     """Benchmark-scene shading: finer checkerboard + smooth hue drift,
     two fixed lights + ambient (view-independent, double-sided)."""
     u = np.arctan2(pts[:, 2], pts[:, 0])
@@ -233,8 +277,7 @@ def _shade_lobed(pts, normals, rays_d, hit):
     l1 = np.abs(normals @ _LIGHT)[:, None]
     l2 = np.abs(normals @ _LIGHT2)[:, None]
     color = albedo * (0.28 + 0.52 * l1 + 0.20 * l2)
-    bg = 0.12 + 0.25 * np.abs(rays_d)
-    return np.where(hit[:, None], color, bg)
+    return np.where(hit[:, None], color, _env_background(rays_o, rays_d))
 
 
 def generate_scene(
@@ -279,10 +322,10 @@ def generate_scene(
             hit = np.concatenate(hs)
             pts = np.concatenate(ps)
             normals = np.concatenate(ns)
-            color = _shade_lobed(pts, normals, rays_d, hit)
+            color = _shade_lobed(pts, normals, rays_o, rays_d, hit)
         else:
             hit, pts, normals = _trace(rays_o, rays_d, kind)
-            color = _shade(pts, normals, rays_d, hit)
+            color = _shade(pts, normals, rays_o, rays_d, hit)
 
         img = (color.reshape(H, W, 3) * 255.0).clip(0, 255).astype(np.uint8)
         msk = (hit.reshape(H, W).astype(np.uint8) * 255)[..., None].repeat(3, axis=-1)

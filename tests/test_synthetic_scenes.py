@@ -1,0 +1,84 @@
+"""Tests for the synthetic benchmark scenes (data/synthetic.py).
+
+The lobed scene is the framework's quality benchmark (a DTU stand-in:
+no real data ships in this container), so its ground truth must be exact:
+the tracer, the GT sampler, and the implicit field all have to agree.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+
+from neuraludf_tpu.data import synthetic as S
+
+
+def test_lobed_gt_points_on_surface():
+    p = S.gt_surface_points("lobed", n=20_000)
+    assert np.abs(S._lobed_f(p)).max() < 1e-5
+    assert p[:, 1].max() <= S.LOBED_CUT_Y + 1e-6
+    r = np.linalg.norm(p, axis=-1)
+    assert 0.3 < r.min() and r.max() < 0.55
+
+
+def test_lobed_tracer_agrees_with_implicit():
+    # rays from a ring of origins through the origin must hit the shell
+    # at f=0, below the cut
+    rng = np.random.RandomState(0)
+    o = rng.normal(size=(512, 3)).astype(np.float32)
+    o /= np.linalg.norm(o, axis=-1, keepdims=True)
+    o *= 2.2
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)  # toward origin
+    hit, pts, normals = S._trace_lobed(o, d)
+    assert hit.mean() > 0.8  # only rays entering through the hole can miss
+    f = S._lobed_f(pts[hit])
+    assert np.abs(f).max() < 1e-5
+    assert pts[hit][:, 1].max() <= S.LOBED_CUT_Y + 1e-6
+    assert np.allclose(np.linalg.norm(normals[hit], axis=-1), 1.0, atol=1e-4)
+
+
+def test_lobed_hole_rays_hit_inner_wall():
+    # a ray straight down the hole axis must pass the removed cap and land
+    # on the far (inner) wall below the cut
+    o = np.array([[0.0, 2.2, 0.0]], np.float32)
+    d = np.array([[0.0, -1.0, 0.0]], np.float32)
+    hit, pts, _ = S._trace_lobed(o, d)
+    assert bool(hit[0])
+    assert pts[0, 1] < -0.3  # the far wall, not the removed cap (y=+r)
+    assert abs(S._lobed_f(pts[:1])[0]) < 1e-5
+
+
+def test_env_background_is_multiview_consistent():
+    # two cameras looking at the SAME env-sphere point see the same color
+    p_env = np.array([2.8, 1.2, -2.0], np.float32)
+    p_env = p_env / np.linalg.norm(p_env) * S.ENV_RADIUS
+    o1 = np.array([[0.0, 0.0, -2.2]], np.float32)
+    o2 = np.array([[1.5, 0.5, -1.2]], np.float32)
+    d1 = (p_env - o1) / np.linalg.norm(p_env - o1)
+    d2 = (p_env - o2) / np.linalg.norm(p_env - o2)
+    c1 = S._env_background(o1, d1.astype(np.float32))
+    c2 = S._env_background(o2, d2.astype(np.float32))
+    assert np.allclose(c1, c2, atol=1e-5)
+
+
+def test_camera_rig_dtu_band():
+    rig = S._camera_rig_dtu(49, dist=2.2)
+    assert rig.shape == (49, 3)
+    assert np.allclose(np.linalg.norm(rig, axis=-1), 2.2, atol=1e-4)
+    elev = np.rad2deg(np.arcsin(rig[:, 1] / 2.2))
+    assert elev.min() > -13 and elev.max() < 59
+
+
+def test_generate_scene_lobed_layout():
+    with tempfile.TemporaryDirectory() as d:
+        S.generate_scene(d, kind="lobed", n_views=2, H=60, W=80, focal=90.0)
+        assert os.path.exists(os.path.join(d, "cameras.npz"))
+        import cv2 as cv
+
+        img = cv.imread(os.path.join(d, "image", "000.png"))
+        msk = cv.imread(os.path.join(d, "mask", "000.png"))
+        assert img.shape == (60, 80, 3) and msk.shape == (60, 80, 3)
+        frac = (msk > 0).mean()
+        assert 0.02 < frac < 0.9
+        cams = np.load(os.path.join(d, "cameras.npz"))
+        assert "world_mat_0" in cams and "scale_mat_1" in cams
