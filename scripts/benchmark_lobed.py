@@ -35,10 +35,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", required=True)
     ap.add_argument("--iters", type=int, default=50_000)
+    ap.add_argument("--ft_iters", type=int, default=0,
+                    help="finetune-stage iterations (patch-blending losses, "
+                         "the reference's stage-2 recipe: pixel 0.1 + patch "
+                         "0.1, h_patch_size 5; ref udf_dtu_blending_ft.conf)")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--fused", default="auto")
     ap.add_argument("--precision", default="default")
+    # the reference's open-surface (garment/DF3D) recipe: sparse_weight
+    # 0.001 (ref confs/udf_garment_blending.conf:49) suppresses phantom
+    # zero-membranes across the opening — measured on the capsule scene:
+    # a diaphragm at y=0.16 under the y=0.2 rim without it
+    ap.add_argument("--sparse_weight", type=float, default=0.001)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the newest checkpoint under the tag dir")
     args = ap.parse_args()
@@ -81,6 +90,7 @@ def main():
         general=dataclasses.replace(cfg.general, base_exp_dir=exp_dir),
         train=dataclasses.replace(
             cfg.train, end_iter=args.iters, batch_size=args.batch_size,
+            sparse_weight=args.sparse_weight,
             save_freq=25_000, val_freq=10**9, val_mesh_freq=10**9,
             report_freq=1000,
         ),
@@ -97,6 +107,35 @@ def main():
         runner.train()
         train_s = time.time() - t0
         runner.save_checkpoint()
+
+    if args.ft_iters:
+        from neuraludf_tpu.config import ColorLossConfig
+
+        ft_cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, end_iter=args.ft_iters,
+                warm_up_end=min(5000, args.ft_iters // 10),
+                anneal_end=min(25_000, args.ft_iters // 2),
+            ),
+            color_loss=ColorLossConfig(
+                color_base_weight=0.01, color_weight=1.0,
+                color_pixel_weight=0.1, color_patch_weight=0.1,
+                pixel_loss_type="l1", patch_loss_type="ssim", h_patch_size=5,
+            ),
+            model=dataclasses.replace(
+                cfg.model,
+                udf_renderer=dataclasses.replace(
+                    cfg.model.udf_renderer, h_patch_size=5),
+            ),
+        )
+        ft_runner = Runner(ft_cfg, seed=0, is_finetune=True)
+        ft_runner.load_checkpoint(runner._latest_checkpoint())
+        t0 = time.time()
+        ft_runner.train()
+        train_s += time.time() - t0
+        ft_runner.save_checkpoint()
+        runner = ft_runner
 
     # validation renders (production path: color + normal + depth)
     val_s = time.time()
