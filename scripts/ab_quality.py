@@ -70,7 +70,11 @@ def main():
             save_freq=10**9, val_freq=10**9, val_mesh_freq=10**9, report_freq=1000,
         ),
     )
-    runner = Runner(cfg, seed=0)
+    # the reference's open-surface recipe enables sparse regularisation via
+    # --reg_weights_schedule (zero until end_iter//2, ref bash_garment_blending.sh:37
+    # + exp_runner:199-211): applied from iter 0 it holds the surface off zero
+    # (measured: udf_min stuck at 0.04, Chamfer 0.18)
+    runner = Runner(cfg, seed=0, reg_weights_schedule=args.sparse_weight > 0)
     t0 = time.time()
     runner.train()
     train_s = time.time() - t0

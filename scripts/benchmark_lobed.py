@@ -95,7 +95,8 @@ def main():
             report_freq=1000,
         ),
     )
-    runner = Runner(cfg, seed=0)
+    runner = Runner(cfg, seed=0,
+                    reg_weights_schedule=args.sparse_weight > 0)
 
     train_s = 0.0
     if args.skip_train:
@@ -129,7 +130,8 @@ def main():
                     cfg.model.udf_renderer, h_patch_size=5),
             ),
         )
-        ft_runner = Runner(ft_cfg, seed=0, is_finetune=True)
+        ft_runner = Runner(ft_cfg, seed=0, is_finetune=True,
+                           reg_weights_schedule=args.sparse_weight > 0)
         ft_runner.load_checkpoint(runner._latest_checkpoint())
         t0 = time.time()
         ft_runner.train()
