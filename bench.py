@@ -106,6 +106,14 @@ def main():
         np.asarray(m)
     dt = (time.time() - t0) / (n_windows * window)
 
+    prof_dir = os.environ.get("NEURALUDF_BENCH_PROFILE", "")
+    if prof_dir:
+        from neuraludf_tpu.utils.jax_setup import trace
+
+        with trace(prof_dir):
+            np.asarray(run_one(n_windows + 1))
+        print(f"profiler trace written to {prof_dir}", file=sys.stderr)
+
     rays_per_sec = cfg.train.batch_size / dt
     step_ms = dt * 1e3
     print(

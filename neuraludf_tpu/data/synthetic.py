@@ -355,6 +355,50 @@ def generate_scene(
     np.savez(os.path.join(out_dir, "cameras.npz"), **cams)
 
 
+def lobed_observability_mask(res: float = 0.01, n_seg: int = 64):
+    """DTU-protocol ObsMask analogue for the `lobed` benchmark.
+
+    DTU's offline evaluation always filters data→GT distances through an
+    observability volume derived from the ground-truth scan coverage
+    (ref evaluation/eval_dtu_python.py:208-229: ObsMask/BB/Res .mat files);
+    points the scanner could never see — e.g. INSIDE the object — are not
+    scored. This builds the same structure from the analytic GT: a voxel is
+    observable iff it is not inside the closed shell and the segment from
+    at least one benchmark camera reaches it without crossing the surface
+    (the cap cut means the removed region stays observable through the
+    mouth). Returns (ObsMask [X,Y,Z] bool, BB [2,3], Res) in UNIT scene
+    coordinates — scale BB/Res alongside the points for mm evaluation.
+    """
+    lo, hi = -0.62, 0.62
+    xs = np.arange(lo, hi, res, dtype=np.float32)
+    X = len(xs)
+    vox = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
+
+    f_vox = _lobed_f(vox)
+    # strictly interior voxels of the *closed* shell are unobservable,
+    # except where the cap was removed (they can be seen through the mouth)
+    interior = (f_vox < -1e-3) & (vox[:, 1] <= LOBED_CUT_Y)
+    observable = ~interior
+    # candidate voxels near the surface need the occlusion test; free-space
+    # voxels far outside are trivially observable from some camera
+    todo = np.flatnonzero(observable & (np.abs(f_vox) < 0.08))
+    seen = np.zeros(len(todo), bool)
+    ts = np.linspace(0.02, 0.98, n_seg, dtype=np.float32)[None, :, None]
+    for loc in _camera_rig_dtu(49):
+        active = np.flatnonzero(~seen)
+        if len(active) == 0:
+            break
+        v = vox[todo[active]]
+        seg = loc[None, None, :] + (v[:, None, :] - loc[None, None, :]) * ts
+        fmin = _lobed_f(seg.reshape(-1, 3)).reshape(len(v), n_seg).min(axis=1)
+        # the segment may graze the voxel's own surface cell; crossing means
+        # clearly negative before arrival
+        seen[active[fmin > -1e-3]] = True
+    observable[todo[~seen]] = False
+    bb = np.array([[lo, lo, lo], [hi, hi, hi]], np.float32)
+    return observable.reshape(X, X, X), bb, res
+
+
 def gt_surface_points(kind: str, n: int = 200_000, seed: int = 0) -> np.ndarray:
     """Exact GT surface samples (for Chamfer evaluation of trained scenes)."""
     rng = np.random.RandomState(seed)

@@ -33,6 +33,9 @@ def main():
     # reference-default runs reconstruct the r=0.5 shell).
     ap.add_argument("--mask_weight", type=float, default=0.0)
     ap.add_argument("--sparse_weight", type=float, default=0.0)
+    ap.add_argument("--anneal_end", type=int, default=0,
+                    help="override train.anneal_end (reference DTU uses 8% "
+                         "of the schedule; the smoke conf's 500 is 1-2%)")
     args = ap.parse_args()
 
     os.environ["NEURALUDF_FUSED_CORE"] = args.fused
@@ -67,6 +70,7 @@ def main():
         train=dataclasses.replace(
             cfg.train, end_iter=args.iters,
             mask_weight=args.mask_weight, sparse_weight=args.sparse_weight,
+            **({"anneal_end": args.anneal_end} if args.anneal_end else {}),
             save_freq=10**9, val_freq=10**9, val_mesh_freq=10**9, report_freq=1000,
         ),
     )
