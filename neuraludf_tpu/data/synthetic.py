@@ -375,13 +375,13 @@ def lobed_observability_mask(res: float = 0.01, n_seg: int = 64):
     vox = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
 
     f_vox = _lobed_f(vox)
-    # strictly interior voxels of the *closed* shell are unobservable,
-    # except where the cap was removed (they can be seen through the mouth)
-    interior = (f_vox < -1e-3) & (vox[:, 1] <= LOBED_CUT_Y)
-    observable = ~interior
-    # candidate voxels near the surface need the occlusion test; free-space
-    # voxels far outside are trivially observable from some camera
-    todo = np.flatnonzero(observable & (np.abs(f_vox) < 0.08))
+    # The cut shell is a thin open sheet: its "interior" volume is air
+    # reachable through the mouth, so observability is decided by the
+    # segment test alone (a camera sightline entering the mouth legitimately
+    # observes the bowl). Far-outside free space is trivially observable;
+    # everything within reach of the surface gets the occlusion test.
+    observable = np.ones(len(vox), bool)
+    todo = np.flatnonzero((f_vox < 0.08))
     seen = np.zeros(len(todo), bool)
     ts = np.linspace(0.02, 0.98, n_seg, dtype=np.float32)[None, :, None]
     for loc in _camera_rig_dtu(49):

@@ -65,7 +65,11 @@ def main():
     import numpy as np
 
     from neuraludf_tpu import config as config_mod
-    from neuraludf_tpu.data.synthetic import generate_scene, gt_surface_points
+    from neuraludf_tpu.data.synthetic import (
+        generate_scene,
+        gt_surface_points,
+        lobed_observability_mask,
+    )
     from neuraludf_tpu.eval.chamfer import eval_mesh
     from neuraludf_tpu.eval.clean_mesh import (
         clean_mesh_faces_by_mask,
@@ -173,7 +177,14 @@ def main():
     export_ply(mm_ply, verts * MM_SCALE, faces)
     gt_mm = gt_surface_points("lobed", n=400_000).astype(np.float64) * MM_SCALE
 
+    # DTU's d->GT filtering goes through an observability mask (the real
+    # protocol never scores what the scanner could not see); ours is built
+    # from analytic GT occlusion against the 49-camera rig
+    obs, bb, res = lobed_observability_mask(res=0.01)
+    obs_mm = (obs, bb * MM_SCALE, res * MM_SCALE)
+
     r = eval_mesh(mm_ply, gt_mm, downsample_density=0.2, max_dist=20.0,
+                  obs_mask=obs_mm,
                   vis_out_dir=os.path.join(exp_dir, "eval_vis"), scan=0)
 
     row = {
