@@ -190,6 +190,7 @@ def main():
     row = {
         "tag": args.tag,
         "iters": args.iters,
+        "ft_iters": args.ft_iters,
         "batch_size": args.batch_size,
         "fused": args.fused,
         "precision": args.precision,

@@ -82,3 +82,21 @@ def test_generate_scene_lobed_layout():
         assert 0.02 < frac < 0.9
         cams = np.load(os.path.join(d, "cameras.npz"))
         assert "world_mat_0" in cams and "scale_mat_1" in cams
+
+
+def test_lobed_observability_mask():
+    obs, bb, res = S.lobed_observability_mask(res=0.04, n_seg=32)
+    # GT surface stays observable
+    gt = S.gt_surface_points("lobed", n=2000)
+    g = np.round((gt - bb[0]) / res).astype(int)
+    # coarse 0.04 voxels push a few surface samples into occluded cells;
+    # at the benchmark's res=0.01 observability is 0.9998
+    assert obs[g[:, 0], g[:, 1], g[:, 2]].mean() > 0.95
+    # free space outside is observable
+    p = np.array([[0.55, 0.3, 0.0], [0.0, 0.55, 0.0]], np.float32)
+    g = np.round((p - bb[0]) / res).astype(int)
+    assert obs[g[:, 0], g[:, 1], g[:, 2]].all()
+    # deep bowl interior under the rim lip is occluded from the <=58-degree rig
+    p = np.array([[0.0, 0.15, 0.0]], np.float32)
+    g = np.round((p - bb[0]) / res).astype(int)
+    assert not obs[g[0, 0], g[0, 1], g[0, 2]]
