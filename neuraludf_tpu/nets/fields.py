@@ -307,7 +307,9 @@ def color_blend(
     """Fuse per-view warped colors with learned blending weights.
 
     blending_logits: [B, S, n_cand]; pixel color/mask: [B, S, V, 3]/[B, S, V];
-    patch color/mask: [B, S, V, Npx, 3]/[B, S, V, Npx].
+    patch color/mask: [B, S, V, 3, Npx]/[B, S, V, Npx] (channel-packed,
+    patch axis minor — see PatchProjector.patch_warp for the TPU layout
+    rationale; the returned patch color is [B, S, 3, Npx]).
     """
     nviews = (
         pts_pixel_color.shape[-2] if pts_pixel_color is not None else pts_patch_color.shape[-3]
@@ -327,13 +329,13 @@ def color_blend(
 
     final_patch_color, final_patch_mask = None, None
     if pts_patch_color is not None:
-        npx = pts_patch_color.shape[-2]
+        npx = pts_patch_color.shape[-1]
         patch_mask = jnp.sum(pts_patch_mask, axis=-1) > (npx - 1)  # [B, S, V]
         w_patch = jax.nn.softmax(logits, axis=-1) * patch_mask
         w_patch = w_patch / (jnp.sum(w_patch, axis=-1, keepdims=True) + 1e-8)
-        final_patch_color = jnp.sum(
-            pts_patch_color * w_patch[..., None, None], axis=-3
-        )  # [B, S, Npx, 3]
+        final_patch_color = jnp.einsum(
+            "bsvcp,bsv->bscp", pts_patch_color, w_patch
+        )  # [B, S, 3, Npx]
         final_patch_mask = jnp.sum(patch_mask, axis=-1, keepdims=True) > 0  # [B, S, 1]
 
     return final_pixel_color, final_pixel_mask, final_patch_color, final_patch_mask

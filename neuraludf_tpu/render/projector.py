@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import grid_sample_2d
+from ..ops.interp import grid_sample_2d, grid_sample_2d_xy
 
 
 def build_patch_offset(h_patch_size: int) -> np.ndarray:
@@ -68,8 +68,10 @@ class PatchProjector:
         """Homography patch warp (ref: patch_projector.py:45-150).
 
         pts: [B, S, 3]; uv: [B, 2] in (-1, 1); normals: [B, S, 3] world;
-        src_imgs: [V, 3, H, W]. Returns colors [B, S, V, Npx, 3],
-        mask [B, S, V, Npx].
+        src_imgs: [V, 3, H, W]. Returns colors [B, S, V, 3, Npx] —
+        CHANNEL-PACKED, patch axis minor (a channel-minor layout tiles a
+        production-shape [B·S·V·Npx, 3] intermediate to 128 lanes on TPU:
+        a 42x padding blowup that OOMs the chip) — and mask [B, S, V, Npx].
         """
         if detach_normal:
             normals = jax.lax.stop_gradient(normals)
@@ -118,40 +120,47 @@ class PatchProjector:
         sign = jnp.where(jnp.sign(d1) == 0, 1.0, jnp.sign(d1))
         d = jnp.maximum(jnp.abs(d1), 1e-8) * sign  # [N]
 
-        # H_valid[v,n] = K_src (R_rel + t_rel nᵀ / d) K_ref⁻¹
-        outer = jnp.einsum("vi,nj->vnij", t_rel, rot_normals) / d[None, :, None, None]
-        H_valid = jnp.einsum(
-            "vij,vnjk,kl->vnil", src_intrs, R_rel[:, None] + outer, inv_ref_intr
-        )  # [V, N, 3, 3]
-        # fronto-parallel fallback for degenerate planes
-        z_axis = jnp.asarray([0.0, 0.0, 1.0], pts.dtype)
-        outer_fp = jnp.einsum("vi,j->vij", t_rel, z_axis)[:, None] / sampled_dists[
-            None, :, None, None
-        ]
-        H_fp = jnp.einsum("vij,vnjk,kl->vnil", src_intrs, R_rel[:, None] + outer_fp, inv_ref_intr)
-        Hmat = jnp.where(valid_hom.T[:, :, None, None], H_valid, H_fp)  # [V, N, 3, 3]
-
+        # H p = K_src (R_rel + t_rel nᵀ/d) K_ref⁻¹ p, applied WITHOUT ever
+        # materializing a [V,N,3,3] homography stack or a [V,B,S,Npx,3]
+        # warped-point tensor: on TPU any production-shape tensor whose
+        # minor dimension is 2 or 3 tiles to 128 lanes (a 42-64x HBM
+        # padding blowup, measured 28.9 GB for one fusion output at the
+        # DTU config — an instant chip OOM). Instead: q = K_ref⁻¹ p is
+        # tiny, K(R q) and K t are small, and the plane coefficient
+        # nᵀq/d is a scalar per (view, point, patch-pixel) — every big
+        # tensor below is [V, B, S, Npx] with the patch axis minor
+        # (~6% padding).
         pixels = uv_px[:, None, :] + self.offsets[None, :, :]  # [B, Npx, 2]
         pix_h = jnp.concatenate([pixels, jnp.ones((B, npx, 1), pts.dtype)], axis=-1)
+        q = jnp.einsum("kl,bol->bko", inv_ref_intr, pix_h)  # [B, 3, Npx] (tiny)
 
-        Hmat = Hmat.reshape(V, B, S, 3, 3)
-        warped = jnp.einsum("vbsik,bok->vbsoi", Hmat, pix_h)  # [V, B, S, Npx, 3]
-        grid = warped[..., :2] / jnp.maximum(warped[..., 2:], 1e-8)
-        mask = warped[..., 2] > 0
+        KR = jnp.einsum("vij,vjk->vik", src_intrs, R_rel)  # [V, 3, 3]
+        KRq = jnp.einsum("vik,bko->vbio", KR, q)  # [V, B, 3, Npx] (small)
+        Kt = jnp.einsum("vij,vj->vi", src_intrs, t_rel)  # [V, 3]
+
+        # plane coefficient per (v, n, o): nᵀq/d for valid homographies,
+        # the fronto-parallel q_z/dist fallback otherwise
+        nq = jnp.einsum("bsj,bjo->bso", rot_normals.reshape(B, S, 3), q)  # [B,S,Npx]
+        coef_valid = nq / d.reshape(B, S)[..., None]
+        coef_fp = q[:, None, 2, :] / sampled_dists.reshape(B, S)[..., None]
+        coef = jnp.where(
+            valid_hom.T.reshape(V, B, S)[..., None], coef_valid[None], coef_fp[None]
+        )  # [V, B, S, Npx]
+
+        wx = KRq[:, :, None, 0, :] + Kt[:, None, None, None, 0] * coef
+        wy = KRq[:, :, None, 1, :] + Kt[:, None, None, None, 1] * coef
+        wz = KRq[:, :, None, 2, :] + Kt[:, None, None, None, 2] * coef
+        gx = wx / jnp.maximum(wz, 1e-8)
+        gy = wy / jnp.maximum(wz, 1e-8)
+        mask = wz > 0
 
         h = self.h_patch_size
-        mask = (
-            mask
-            & (grid[..., 0] < (sizeW - h))
-            & (grid[..., 1] < (sizeH - h))
-            & jnp.all(grid >= h, axis=-1)
-        )
+        mask = mask & (gx < (sizeW - h)) & (gy < (sizeH - h)) & (gx >= h) & (gy >= h)
 
-        grid_n = jnp.stack(
-            [2.0 * grid[..., 0] / (sizeW - 1) - 1.0, 2.0 * grid[..., 1] / (sizeH - 1) - 1.0],
-            axis=-1,
-        )
-        grid_n = jnp.clip(grid_n, -10.0, 10.0)
+        gx = jnp.clip(2.0 * gx / (sizeW - 1) - 1.0, -10.0, 10.0)
+        gy = jnp.clip(2.0 * gy / (sizeH - 1) - 1.0, -10.0, 10.0)
 
-        colors = jax.vmap(grid_sample_2d)(src_imgs, grid_n)  # [V, B, S, Npx, 3]
-        return colors.transpose(1, 2, 0, 3, 4), mask.transpose(1, 2, 0, 3)
+        colors = jax.vmap(
+            lambda im, x, y: grid_sample_2d_xy(im, x, y, channels_last=False)
+        )(src_imgs, gx, gy)  # [V, 3, B, S, Npx]
+        return colors.transpose(2, 3, 0, 1, 4), mask.transpose(1, 2, 0, 3)

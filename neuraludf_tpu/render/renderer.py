@@ -222,7 +222,7 @@ class UDFRenderer:
             if opts.pixel_blending:
                 sampled_color_pixel = pix_c  # [B, n, 3]
             if opts.patch_blending:
-                sampled_color_patch = patch_c  # [B, n, Npx, 3]
+                sampled_color_patch = patch_c  # [B, n, 3, Npx] channel-packed
                 sampled_color_patch_mask = patch_m[..., 0]  # [B, n]
 
         # ------- eikonal terms ----------------------------------------------
@@ -260,8 +260,10 @@ class UDFRenderer:
 
         fused_patch_colors = fused_patch_mask = None
         if sampled_color_patch is not None:
-            fused_patch_colors = jnp.sum(
-                sampled_color_patch * weights[:, :n_fg, None, None], axis=1
+            # channel-packed [B, n, 3, Npx] fuse over samples, then a tiny
+            # [B, 3, Npx] -> [B, Npx, 3] transpose for the public contract
+            fused_patch_colors = jnp.einsum(
+                "bscp,bs->bpc", sampled_color_patch, weights[:, :n_fg]
             )  # [B, Npx, 3]
             fused_patch_mask = jnp.sum(
                 sampled_color_patch_mask.astype(weights.dtype) * weights[:, :n_fg], axis=1

@@ -260,12 +260,23 @@ class Runner:
 
         dataclass_dict = lambda s: dict(s.__dict__)
 
+        # Blending iterations run as single-step dispatches by default: the
+        # SAME step body works standalone on TPU but hard-crashes the axon
+        # TPU worker when wrapped in the lax.scan window (runtime fault,
+        # fused kernels on or off; stage-1 scan windows are unaffected).
+        # NEURALUDF_BLEND_WINDOW=1 re-enables windows for blending.
+        blend_windows_ok = os.environ.get("NEURALUDF_BLEND_WINDOW") == "1"
+
         done = 0
         while done < res_step:
             k = min(window, res_step - done)
             scheds, first_active, last_active = window_schedules(k)
-            if first_active != last_active or k != window:
-                # rare boundary (blending activates mid-window / tail):
+            if (
+                first_active != last_active or k != window
+                or (first_active and not blend_windows_ok)
+            ):
+                # rare boundary (blending activates mid-window / tail),
+                # or blending with windows disabled:
                 # fall back to single-iteration dispatches
                 for j in range(k):
                     s = self._schedules_at(self.iter_step)

@@ -155,9 +155,12 @@ def test_color_blend_parity():
         jnp.asarray(logits), None,
         pts_pixel_color=jnp.asarray(pix_color),
         pts_pixel_mask=jnp.asarray(pix_mask),
-        pts_patch_color=jnp.asarray(patch_color),
+        # ours takes/returns the channel-packed patch layout (patch axis
+        # minor — TPU tiling, see PatchProjector.patch_warp)
+        pts_patch_color=jnp.asarray(patch_color).transpose(0, 1, 2, 4, 3),
         pts_patch_mask=jnp.asarray(patch_mask),
     )
+    patch = jnp.moveaxis(patch, -2, -1)  # [B, S, 3, Npx] -> [B, S, Npx, 3]
     np.testing.assert_allclose(np.asarray(pix), to_np(ref_pix), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(patch), to_np(ref_patch), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pixm), to_np(ref_pixm))

@@ -81,6 +81,9 @@ def test_patch_warp_parity():
         jnp.asarray(intrinsics[0]), jnp.asarray(intrinsics),
         jnp.asarray(ref_c2w), jnp.asarray(c2ws), detach_normal=True,
     )
+    # ours is channel-packed [B, S, V, 3, Npx]; the reference returns
+    # [B, S, V, Npx, 3] (possibly flattened) — align for comparison
+    color = jnp.moveaxis(color, -2, -1)  # -> [B, S, V, Npx, 3]
     ref_color = to_np(ref_color).reshape(np.asarray(color).shape)
     ref_mask = to_np(ref_mask).reshape(np.asarray(mask).shape).astype(bool)
     assert np.asarray(mask).sum() > 0, "degenerate test: nothing warped in-frame"
