@@ -149,14 +149,23 @@ def look_at_pose(
 
 def _camera_ring(n_views: int, dist: float = 2.2) -> np.ndarray:
     """Camera centers on a sphere of radius `dist`: a ring with strongly
-    alternating elevations (up to ~±30°) so the top of the object is
-    actually observed — a flat equatorial ring leaves the poles
-    unconstrained and the reconstruction free to collapse there."""
+    alternating elevations (up to ~±30°), plus every fourth view raised to
+    ~65° elevation. The steep views look INTO an open mouth (capsule/lobed
+    cuts face +y): without them, mouth-entering rays are so oblique that a
+    phantom lid just below the rim occludes only a sliver of inner wall and
+    survives training (measured: diaphragm at y=0.16 on the capsule with a
+    ±33° ring)."""
     locs = []
     for i in range(n_views):
         ang = 2.0 * np.pi * i / n_views
-        elev = 0.45 * np.sin(2.0 * ang + 0.7) + 0.12
-        d = np.array([np.sin(ang), elev, -np.cos(ang)], np.float32)
+        if i % 4 == 2:
+            elev_angle = np.deg2rad(65.0)
+            d = np.array(
+                [np.cos(elev_angle) * np.sin(ang), np.sin(elev_angle),
+                 -np.cos(elev_angle) * np.cos(ang)], np.float32)
+        else:
+            elev = 0.45 * np.sin(2.0 * ang + 0.7) + 0.12
+            d = np.array([np.sin(ang), elev, -np.cos(ang)], np.float32)
         locs.append(d / np.linalg.norm(d) * dist)
     return np.stack(locs)
 
