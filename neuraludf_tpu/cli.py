@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resolution", type=int, default=128)
     p.add_argument("--final_mesh_resolution", type=int, default=512,
                    help="post-training extract_udf_mesh resolution (ref: exp_runner:902)")
+    p.add_argument("--mc_algorithm", type=str, default="tets",
+                   choices=["tets", "lewiner"],
+                   help="MeshUDF cube-triangulation backend: marching "
+                        "tetrahedra or the reference's Lewiner tables")
     p.add_argument("--case", type=str, default="")
     p.add_argument("--learning_rate", type=float, default=0)
     p.add_argument("--learning_rate_geo", type=float, default=0)
@@ -93,12 +97,14 @@ def main(argv=None):
         else:
             runner.train()
         runner.extract_udf_mesh(
-            resolution=args.final_mesh_resolution, world_space=True, dist_threshold_ratio=5.0
+            resolution=args.final_mesh_resolution, world_space=True,
+            dist_threshold_ratio=5.0, algorithm=args.mc_algorithm,
         )
     elif args.mode == "validate_mesh":
         runner.validate_mesh(world_space=False, resolution=args.resolution, threshold=args.threshold)
     elif args.mode in ("extract_udf_mesh", "validate_udf_mesh"):
-        runner.extract_udf_mesh(resolution=args.resolution, world_space=True, dist_threshold_ratio=5.0)
+        runner.extract_udf_mesh(resolution=args.resolution, world_space=True,
+                                dist_threshold_ratio=5.0, algorithm=args.mc_algorithm)
     elif args.mode.startswith("validate_image"):
         for idx in [0, 10, 20, 30, 40, 50, 60, 70]:
             if idx < runner.dataset.n_images:

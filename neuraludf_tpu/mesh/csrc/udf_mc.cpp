@@ -14,15 +14,19 @@
 //     cube's surface patch shares >= 2 vertices with already-built surface
 //     (the reference gates on check_the_big_switch >= 2, which counts
 //     face-layer vertex reuse);
-//   * triangulation by marching tetrahedra (6-tet cube split sharing the
-//     main diagonal) instead of Lewiner tables: unambiguous by
-//     construction, no lookup tables, same inverse-|value| edge
-//     interpolation as the reference Cell
-//     (ref: _marching_cubes_lewiner_cy.pyx:640-661).
+//   * triangulation selectable at call time (`algorithm` parameter):
+//       0 = marching tetrahedra (6-tet cube split sharing the main
+//           diagonal): unambiguous by construction, no lookup tables,
+//           same inverse-|value| edge interpolation as the reference Cell
+//           (ref: _marching_cubes_lewiner_cy.pyx:640-661);
+//       1 = Lewiner tables (lewiner.cpp): the reference's topology engine
+//           — full 15-case dispatch with face/interior saddle tests
+//           (ref: _marching_cubes_lewiner_cy.pyx:1847-2569), including
+//           the interpolated center vertex (ref: .pyx:806-851).
 //
 // Exposed as a plain C ABI for ctypes.
 //
-// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 udf_mc.cpp -o libudf_mc.so
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 udf_mc.cpp lewiner.cpp -o libudf_mc.so
 
 #include <cstdint>
 #include <cstdlib>
@@ -31,6 +35,8 @@
 #include <deque>
 #include <unordered_map>
 #include <vector>
+
+#include "lewiner.h"
 
 namespace {
 
@@ -197,6 +203,118 @@ static bool triangulate_cube(MeshBuilder& mb, const Grid& G,
   return emitted;
 }
 
+// Lewiner-table triangulation of one cube (algorithm=1). Same gate and
+// vertex-dedup machinery as the tets path; the tiling (including ambiguous
+// configs and the interpolated center vertex, vi==12) comes from
+// lewiner_engine::tile_cube. Triangles are oriented per-triangle along the
+// trilinear field gradient at the triangle centroid (normals toward the
+// positive side), making the two backends' conventions identical.
+static bool triangulate_cube_lewiner(MeshBuilder& mb, const Grid& G,
+                                     int64_t a, int64_t b, int64_t c,
+                                     const float sv[8], int gate_min_shared) {
+  double svd[8];
+  for (int i = 0; i < 8; i++) svd[i] = sv[i];
+  int8_t tris[36];
+  int nt = lewiner_engine::tile_cube(svd, tris);
+  if (nt == 0) return false;
+
+  float corner_pos[8][3];
+  uint64_t corner_gid[8];
+  for (int i = 0; i < 8; i++) {
+    corner_pos[i][0] = (float)(a + CUBE[i][0]);
+    corner_pos[i][1] = (float)(b + CUBE[i][1]);
+    corner_pos[i][2] = (float)(c + CUBE[i][2]);
+    corner_gid[i] = (uint64_t)G.gid(a + CUBE[i][0], b + CUBE[i][1], c + CUBE[i][2]);
+  }
+
+  if (gate_min_shared > 0) {
+    int shared = 0;
+    uint64_t seen[13];
+    int n_seen = 0;
+    for (int k = 0; k < 3 * nt && shared < gate_min_shared; k++) {
+      int vi = tris[k];
+      if (vi == 12) continue;  // center vertex is cube-local, never shared
+      uint64_t ga = corner_gid[lewiner_engine::EDGE_CORNERS[vi][0]];
+      uint64_t gb = corner_gid[lewiner_engine::EDGE_CORNERS[vi][1]];
+      uint64_t key = ga < gb ? (ga << 32) | gb : (gb << 32) | ga;
+      bool dup = false;
+      for (int s = 0; s < n_seen; s++)
+        if (seen[s] == key) { dup = true; break; }
+      if (dup) continue;
+      if (n_seen < 13) seen[n_seen++] = key;
+      if (mb.edge_vertex_exists(ga, gb)) shared++;
+    }
+    if (shared < gate_min_shared) return false;
+  }
+
+  // cube-local center vertex: inverse-|value| centroid of the 8 corners
+  // (ref: _marching_cubes_lewiner_cy.pyx:806-838)
+  int32_t center_idx = -1;
+  auto center_vertex = [&]() -> int32_t {
+    if (center_idx >= 0) return center_idx;
+    float fx = 0, fy = 0, fz = 0, ff = 0;
+    for (int i = 0; i < 8; i++) {
+      float w = 1.0f / (1e-12f + std::fabs(sv[i]));
+      fx += CUBE[i][0] * w;
+      fy += CUBE[i][1] * w;
+      fz += CUBE[i][2] * w;
+      ff += w;
+    }
+    center_idx = (int32_t)(mb.verts.size() / 3);
+    mb.verts.push_back((float)a + fx / ff);
+    mb.verts.push_back((float)b + fy / ff);
+    mb.verts.push_back((float)c + fz / ff);
+    return center_idx;
+  };
+
+  auto get_vertex = [&](int vi) -> int32_t {
+    if (vi == 12) return center_vertex();
+    int i = lewiner_engine::EDGE_CORNERS[vi][0];
+    int j = lewiner_engine::EDGE_CORNERS[vi][1];
+    return mb.vertex_on_edge(corner_gid[i], corner_gid[j],
+                             corner_pos[i], corner_pos[j], sv[i], sv[j]);
+  };
+
+  // gradient of the trilinear interpolant of sv at local point (x, y, z)
+  auto trilinear_grad = [&](float x, float y, float z, float g[3]) {
+    g[0] = g[1] = g[2] = 0.0f;
+    for (int i = 0; i < 8; i++) {
+      float bx = CUBE[i][0] ? x : 1.0f - x;
+      float by = CUBE[i][1] ? y : 1.0f - y;
+      float bz = CUBE[i][2] ? z : 1.0f - z;
+      float sx = CUBE[i][0] ? 1.0f : -1.0f;
+      float sy = CUBE[i][1] ? 1.0f : -1.0f;
+      float sz = CUBE[i][2] ? 1.0f : -1.0f;
+      g[0] += sv[i] * sx * by * bz;
+      g[1] += sv[i] * bx * sy * bz;
+      g[2] += sv[i] * bx * by * sz;
+    }
+  };
+
+  for (int t = 0; t < nt; t++) {
+    int32_t v0 = get_vertex(tris[3 * t + 0]);
+    int32_t v1 = get_vertex(tris[3 * t + 1]);
+    int32_t v2 = get_vertex(tris[3 * t + 2]);
+    if (v0 == v1 || v1 == v2 || v0 == v2) continue;  // degenerate tile edge
+    float cx = (mb.verts[3 * v0] + mb.verts[3 * v1] + mb.verts[3 * v2]) / 3.0f - (float)a;
+    float cy = (mb.verts[3 * v0 + 1] + mb.verts[3 * v1 + 1] + mb.verts[3 * v2 + 1]) / 3.0f - (float)b;
+    float cz = (mb.verts[3 * v0 + 2] + mb.verts[3 * v1 + 2] + mb.verts[3 * v2 + 2]) / 3.0f - (float)c;
+    float dir[3];
+    trilinear_grad(cx, cy, cz, dir);
+    mb.add_tri(v0, v1, v2, dir);
+  }
+  return true;
+}
+
+// algorithm: 0 = marching tetrahedra, 1 = Lewiner tables
+static bool triangulate_dispatch(int algorithm, MeshBuilder& mb, const Grid& G,
+                                 int64_t a, int64_t b, int64_t c,
+                                 const float sv[8], int gate_min_shared) {
+  if (algorithm == 1)
+    return triangulate_cube_lewiner(mb, G, a, b, c, sv, gate_min_shared);
+  return triangulate_cube(mb, G, a, b, c, sv, gate_min_shared);
+}
+
 static inline float my_sign(float x) { return x > 0 ? 1.0f : (x < 0 ? -1.0f : 0.0f); }
 
 static inline float dot3(const float* a, const float* b) {
@@ -225,6 +343,7 @@ struct Coord { int64_t a, b, c; };
 struct UdfMcState {
   Grid G;
   float voxel;
+  int algo = 0;  // 0 = marching tets, 1 = Lewiner tables
   float avg_thresh, max_thresh;
   float unsure_thresh = 0.707f;
   std::vector<float> signed_im;
@@ -420,7 +539,7 @@ struct UdfMcState {
           finalize_cube_signs(a0, b0, c0, svv);
           visited[(a0 * B + b0) * C + c0] = 1;
           if (has_crossing(svv)) {
-            triangulate_cube(mb, G, a0, b0, c0, svv, /*gate=*/0);
+            triangulate_dispatch(algo, mb, G, a0, b0, c0, svv, /*gate=*/0);
             push_neighbors(a0, b0, c0);
           } else {
             continue;
@@ -476,7 +595,7 @@ struct UdfMcState {
                 continue;
               }
               // connectivity gate (reference: check_the_big_switch >= 2)
-              if (triangulate_cube(mb, G, a, b, c, svv, /*gate=*/2)) {
+              if (triangulate_dispatch(algo, mb, G, a, b, c, svv, /*gate=*/2)) {
                 visited[(a * B + b) * C + c] = 1;
                 push_neighbors(a, b, c);
               }
@@ -494,13 +613,16 @@ extern "C" {
 
 // UDF marching cubes with gradient-aware pseudo-signs.
 // im: [n0*n1*n2] UDF values; grads: [n0*n1*n2*3] (-normalized gradients).
+// algorithm: 0 = marching tetrahedra, 1 = Lewiner tables.
 // Outputs malloc'd arrays (caller frees with mesh_free).
 int udf_mc(const float* im, const float* grads, int64_t n0, int64_t n1,
-           int64_t n2, float voxel_size, float** out_verts, int64_t* out_nverts,
+           int64_t n2, float voxel_size, int32_t algorithm,
+           float** out_verts, int64_t* out_nverts,
            int32_t** out_faces, int64_t* out_nfaces) {
   UdfMcState st;
   st.G = Grid{im, grads, n0, n1, n2};
   st.voxel = voxel_size;
+  st.algo = (int)algorithm;
   st.avg_thresh = 1.05f * voxel_size;
   st.max_thresh = 1.74f * voxel_size;
   st.signed_im.assign((size_t)(n0 * n1 * n2), 0.0f);
@@ -521,7 +643,8 @@ int udf_mc(const float* im, const float* grads, int64_t n0, int64_t n1,
 // used by the vanilla validate_mesh path (reference uses PyMCubes,
 // ref: udf_renderer_blending.py:52-63). "Inside" is value < isovalue.
 int classic_mc(const float* im, int64_t n0, int64_t n1, int64_t n2,
-               float isovalue, float** out_verts, int64_t* out_nverts,
+               float isovalue, int32_t algorithm,
+               float** out_verts, int64_t* out_nverts,
                int32_t** out_faces, int64_t* out_nfaces) {
   Grid G{im, nullptr, n0, n1, n2};
   MeshBuilder mb;
@@ -535,7 +658,8 @@ int classic_mc(const float* im, int64_t n0, int64_t n1, int64_t n2,
           sv[i] = G.v(a + CUBE[i][0], b + CUBE[i][1], c + CUBE[i][2]) - isovalue;
           (sv[i] < 0 ? any_in : any_out) = true;
         }
-        if (any_in && any_out) triangulate_cube(mb, G, a, b, c, sv, 0);
+        if (any_in && any_out)
+          triangulate_dispatch((int)algorithm, mb, G, a, b, c, sv, 0);
       }
   *out_nverts = (int64_t)(mb.verts.size() / 3);
   *out_nfaces = (int64_t)(mb.faces.size() / 3);

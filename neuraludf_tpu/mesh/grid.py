@@ -24,16 +24,20 @@ CHUNK = 1 << 20  # points per jitted evaluation (matches the reference batch, re
 
 
 @lru_cache(maxsize=8)
-def _udf_chunk_fn(cfg: UDFNetworkConfig):
+def _udf_chunk_fn(cfg: UDFNetworkConfig, signed: bool = False):
+    """`signed=True` (model_type='neus'): the field is a signed distance;
+    MeshUDF consumes |sdf| (ref: exp_runner_blending.py:774)."""
+
     @jax.jit
     def f(udf_params, pts):
-        return fields.distance_value(udf_params, pts, cfg)[:, 0]
+        v = fields.distance_value(udf_params, pts, cfg)[:, 0]
+        return jnp.abs(v) if signed else v
 
     return f
 
 
 @lru_cache(maxsize=8)
-def _udf_grid_chunk_fn(cfg: UDFNetworkConfig, resolution: int):
+def _udf_grid_chunk_fn(cfg: UDFNetworkConfig, resolution: int, signed: bool = False):
     """Evaluate a contiguous linear-index chunk of the grid with the points
     generated ON DEVICE — uploading grid coordinates over a remote-TPU
     tunnel dominates extraction time otherwise (measured 216 s of a 512-grid
@@ -48,16 +52,26 @@ def _udf_grid_chunk_fn(cfg: UDFNetworkConfig, resolution: int):
         i = (lin // (R * R)) % R
         frac = jnp.stack([i, j, k], axis=-1).astype(jnp.float32) / (R - 1)
         pts = bmin[None, :] + frac * (bmax - bmin)[None, :]
-        return fields.distance_value(udf_params, pts, cfg)[:, 0]
+        v = fields.distance_value(udf_params, pts, cfg)[:, 0]
+        return jnp.abs(v) if signed else v
 
     return f
 
 
 @lru_cache(maxsize=8)
-def _grad_chunk_fn(cfg: UDFNetworkConfig):
+def _grad_chunk_fn(cfg: UDFNetworkConfig, signed: bool = False):
+    """Normalized spatial gradient. For a signed field this is the gradient
+    of |sdf| (= sign(sdf)·∇sdf) so the pseudo-sign voting BFS sees the same
+    opposing-gradient pattern across the surface as a genuine UDF."""
+
     @jax.jit
     def f(udf_params, pts):
-        g = fields.distance_gradient(udf_params, pts, cfg)
+        if signed:
+            v = fields.distance_value(udf_params, pts, cfg)[:, 0]
+            g = fields.distance_gradient(udf_params, pts, cfg)
+            g = g * jnp.sign(v)[:, None]
+        else:
+            g = fields.distance_gradient(udf_params, pts, cfg)
         return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-5)
 
     return f
@@ -82,13 +96,18 @@ def grid_points(bound_min, bound_max, resolution: int) -> np.ndarray:
     return np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
-def extract_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max, resolution: int) -> np.ndarray:
-    """UDF values on an axis-aligned grid: [R, R, R] (axis0 = x).
+def extract_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max, resolution: int,
+                   signed: bool = False) -> np.ndarray:
+    """Distance values on an axis-aligned grid: [R, R, R] (axis0 = x).
 
-    Points are generated on device (only values cross the host boundary)."""
+    Points are generated on device (only values cross the host boundary).
+    `signed=True` returns |value| (neus/SDF MeshUDF route); the raw field
+    dump paths (validate_fields/save_hdf5) keep signed=False and so emit
+    the signed values for an SDF, like the reference's sdf closures
+    (ref: exp_runner_blending.py:810-824)."""
     R = resolution
     n = R ** 3
-    fn = _udf_grid_chunk_fn(cfg, R)
+    fn = _udf_grid_chunk_fn(cfg, R, signed)
     bmin = jnp.asarray(np.asarray(bound_min, np.float32))
     bmax = jnp.asarray(np.asarray(bound_max, np.float32))
     outs = []
@@ -105,7 +124,7 @@ def extract_gradient_fields(params, cfg: UDFNetworkConfig, bound_min, bound_max,
 
 
 def udf_and_normals_grid(
-    params, cfg: UDFNetworkConfig, resolution: int
+    params, cfg: UDFNetworkConfig, resolution: int, signed: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     """MeshUDF grid fill over [-1, 1]³ (ref: extract_mesh.py:18-105).
 
@@ -115,7 +134,7 @@ def udf_and_normals_grid(
     """
     N = resolution
     voxel_size = 2.0 / (N - 1)
-    udf = extract_fields(params, cfg, [-1, -1, -1], [1, 1, 1], N).reshape(-1)
+    udf = extract_fields(params, cfg, [-1, -1, -1], [1, 1, 1], N, signed).reshape(-1)
 
     normals = np.zeros((N ** 3, 3), np.float32)
     near = np.where(udf < 2 * voxel_size)[0]
@@ -126,13 +145,15 @@ def udf_and_normals_grid(
         j = ((near // N) % N).astype(np.float32)
         i = (near // (N * N)).astype(np.float32)
         pts = np.stack([i, j, k], axis=-1) / (N - 1) * 2.0 - 1.0
-        g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts)
+        g = _query_chunked(_grad_chunk_fn(cfg, signed), params["udf"], pts)
         normals[near] = -g
     return udf.reshape(N, N, N), normals.reshape(N, N, N, 3)
 
 
-def query_udf_at(params, cfg: UDFNetworkConfig, pts: np.ndarray) -> np.ndarray:
-    return _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts.astype(np.float32))
+def query_udf_at(params, cfg: UDFNetworkConfig, pts: np.ndarray,
+                 signed: bool = False) -> np.ndarray:
+    return _query_chunked(_udf_chunk_fn(cfg, signed), params["udf"],
+                          pts.astype(np.float32))
 
 
 def _linear_to_points(idx: np.ndarray, N: int) -> np.ndarray:
@@ -143,7 +164,9 @@ def _linear_to_points(idx: np.ndarray, N: int) -> np.ndarray:
 
 
 def udf_and_normals_grid_incremental(
-    params, cfg: UDFNetworkConfig, resolution: int, cache: dict | None = None
+    params, cfg: UDFNetworkConfig, resolution: int, cache: dict | None = None,
+    *, signed: bool = False,
+    full_refill_every: int = 8, drift_refill_ratio: float = 0.5,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Incremental MeshUDF grid fill (ref: extract_mesh.py:108-166).
 
@@ -154,6 +177,12 @@ def udf_and_normals_grid_incremental(
     extractions. Returns (udf [N³], normals [N³,3], cache); pass the cache
     back in, after `meshudf.next_update_indices` has refreshed its
     "indices" entry.
+
+    Staleness guards (values outside the re-queried band are cached and can
+    silently distort the mesh if the field drifts more than a voxel between
+    extractions): a full refill is forced every `full_refill_every`
+    incremental calls, and immediately when the re-queried band's mean
+    |Δudf| exceeds `drift_refill_ratio`·voxel_size.
     """
     N = resolution
     if (
@@ -161,21 +190,38 @@ def udf_and_normals_grid_incremental(
         or cache.get("indices") is None
         or cache.get("udf") is None
         or cache["udf"].size != N ** 3
+        or (full_refill_every > 0
+            and cache.get("incr_count", 0) >= full_refill_every)
     ):
-        udf3, nrm3 = udf_and_normals_grid(params, cfg, N)
+        udf3, nrm3 = udf_and_normals_grid(params, cfg, N, signed)
         cache = {
             "udf": udf3.reshape(-1).copy(),
             "normals": nrm3.reshape(-1, 3).copy(),
             "indices": None,
+            "incr_count": 0,
         }
         return udf3, nrm3, cache
 
     idx = np.unique(np.asarray(cache["indices"], np.int64))
     idx = idx[(idx >= 0) & (idx < N ** 3)]
     pts = _linear_to_points(idx, N)
-    new_udf = _query_chunked(_udf_chunk_fn(cfg), params["udf"], pts)
+    new_udf = _query_chunked(_udf_chunk_fn(cfg, signed), params["udf"], pts)
+    voxel = 2.0 / (N - 1)
+    drift = float(np.abs(new_udf - cache["udf"][idx]).mean()) if idx.size else 0.0
+    if drift > drift_refill_ratio * voxel:
+        # the field moved more than the band covers: stale cached values
+        # outside the band would distort the mesh — refill everything
+        udf3, nrm3 = udf_and_normals_grid(params, cfg, N, signed)
+        cache = {
+            "udf": udf3.reshape(-1).copy(),
+            "normals": nrm3.reshape(-1, 3).copy(),
+            "indices": None,
+            "incr_count": 0,
+        }
+        return udf3, nrm3, cache
+    cache["incr_count"] = cache.get("incr_count", 0) + 1
     cache["udf"][idx] = new_udf
-    g = _query_chunked(_grad_chunk_fn(cfg), params["udf"], pts)
+    g = _query_chunked(_grad_chunk_fn(cfg, signed), params["udf"], pts)
     # keep the slow-fill contract (gradients only inside the 2-voxel band,
     # zero elsewhere) so an unchanged field re-extracts identically; the
     # reference writes gradients at every re-queried index regardless

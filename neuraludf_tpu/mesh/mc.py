@@ -21,6 +21,7 @@ def _get_lib():
         _lib.udf_mc.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
@@ -29,6 +30,7 @@ def _get_lib():
         _lib.classic_mc.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
@@ -49,12 +51,20 @@ def _collect(verts_p, nverts, faces_p, nfaces) -> Tuple[np.ndarray, np.ndarray]:
     return verts, faces
 
 
-def marching_cubes_udf(udf: np.ndarray, grads: np.ndarray, voxel_size: float):
+ALGORITHMS = {"tets": 0, "lewiner": 1}
+
+
+def marching_cubes_udf(udf: np.ndarray, grads: np.ndarray, voxel_size: float,
+                       algorithm: str = "tets"):
     """Gradient-aware MC on an unsigned field.
 
     udf: [N,N,N] float32 (>=0); grads: [N,N,N,3] float32 (the -normalized
     gradient, i.e. pointing toward the surface). Returns (verts [V,3] in
     grid-index units, faces [F,3]).
+
+    algorithm: 'tets' (marching tetrahedra, ambiguity-free default) or
+    'lewiner' (the reference's Lewiner-table topology engine with face/
+    interior saddle tests, ref: _marching_cubes_lewiner_cy.pyx:1847-2569).
     """
     lib = _get_lib()
     udf = np.ascontiguousarray(udf, np.float32)
@@ -68,6 +78,7 @@ def marching_cubes_udf(udf: np.ndarray, grads: np.ndarray, voxel_size: float):
         udf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         grads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n0, n1, n2, ctypes.c_float(voxel_size),
+        ctypes.c_int32(ALGORITHMS[algorithm]),
         ctypes.byref(verts_p), ctypes.byref(nverts),
         ctypes.byref(faces_p), ctypes.byref(nfaces),
     )
@@ -75,7 +86,8 @@ def marching_cubes_udf(udf: np.ndarray, grads: np.ndarray, voxel_size: float):
     return _collect(verts_p, nverts, faces_p, nfaces)
 
 
-def marching_cubes_classic(grid: np.ndarray, isovalue: float):
+def marching_cubes_classic(grid: np.ndarray, isovalue: float,
+                           algorithm: str = "tets"):
     """Classic iso-surface extraction (value < isovalue is inside).
     Returns (verts [V,3] in grid-index units, faces [F,3])."""
     lib = _get_lib()
@@ -88,6 +100,7 @@ def marching_cubes_classic(grid: np.ndarray, isovalue: float):
     ret = lib.classic_mc(
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n0, n1, n2, ctypes.c_float(isovalue),
+        ctypes.c_int32(ALGORITHMS[algorithm]),
         ctypes.byref(verts_p), ctypes.byref(nverts),
         ctypes.byref(faces_p), ctypes.byref(nfaces),
     )

@@ -52,6 +52,8 @@ def get_mesh_udf(
     smooth: bool = True,
     refine: bool = True,
     cache: dict = None,
+    signed: bool = False,
+    algorithm: str = "tets",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (verts [V,3] in normalized scene coords, faces [F,3]).
 
@@ -59,27 +61,34 @@ def get_mesh_udf(
     incremental grid re-query between successive extractions of the same
     field (ref: extract_mesh.py:108-166): after the first full fill, only
     voxels around the previous surface are re-evaluated.
+
+    `signed=True` extracts from a signed field (model_type='neus'): the
+    grid holds |sdf| with ∇|sdf| gradients, exactly the unsigned pattern
+    the pseudo-sign BFS expects (ref: exp_runner_blending.py:773-775).
+
+    `algorithm`: cube triangulation backend — 'tets' (marching tetrahedra)
+    or 'lewiner' (the reference's Lewiner-table topology engine).
     """
     N = resolution
     voxel_size = 2.0 / (N - 1)
 
     if cache is not None:
         udf, normals, new_cache = grid_mod.udf_and_normals_grid_incremental(
-            params, cfg, N, cache if cache else None
+            params, cfg, N, cache if cache else None, signed=signed
         )
         cache.clear()
         cache.update(new_cache)
     else:
-        udf, normals = grid_mod.udf_and_normals_grid(params, cfg, N)
+        udf, normals = grid_mod.udf_and_normals_grid(params, cfg, N, signed)
     udf = np.maximum(udf, 0.0)
 
-    verts, faces = marching_cubes_udf(udf, normals, voxel_size)
+    verts, faces = marching_cubes_udf(udf, normals, voxel_size, algorithm=algorithm)
     if len(verts) == 0:
         return verts, faces
     verts = verts * voxel_size - 1.0  # grid-index units -> [-1, 1]³
 
     # 3: drop faces with any vertex far from the zero level set
-    pred_df = grid_mod.query_udf_at(params, cfg, verts)
+    pred_df = grid_mod.query_udf_at(params, cfg, verts, signed)
     dist_threshold = voxel_size * dist_threshold_ratio
     keep = np.max(pred_df[faces], axis=1) < dist_threshold
     faces = faces[keep]
@@ -96,8 +105,8 @@ def get_mesh_udf(
     # differentiable re-plug, ref: extract_mesh.py:276-287)
     if refine and len(faces):
         n = process.vertex_normals(verts, faces)
-        s1 = grid_mod.query_udf_at(params, cfg, verts + eps * n)
-        s2 = grid_mod.query_udf_at(params, cfg, verts - eps * n)
+        s1 = grid_mod.query_udf_at(params, cfg, verts + eps * n, signed)
+        s2 = grid_mod.query_udf_at(params, cfg, verts - eps * n, signed)
         verts = verts + eps * (s2 - s1)[:, None] * n
 
     if cache is not None and len(verts):
