@@ -56,6 +56,10 @@ class TrainConfig:
     igr_ns_weight: float = 0.0
     mask_weight: float = 0.0
     sparse_weight: float = 0.0
+    # capability switches (recorded in the experiment snapshot; the
+    # NEURALUDF_* env vars remain as overrides only)
+    blend_scan_window: bool = False  # lax.scan windows for blending steps
+    incremental_mesh: bool = False  # incremental grid re-query between extractions
 
 
 @dataclass(frozen=True)
@@ -98,6 +102,10 @@ class UDFNetworkConfig:
     inside_outside: bool = False  # only for the NeuS/SDF variant
     udf_shift: float = 0.0  # accepted for conf parity; unused (like reference)
     predict_grad: bool = False  # accepted for conf parity; unused
+    # fused Pallas render-core kernels (ops/fused_distance.py); env vars
+    # NEURALUDF_FUSED_CORE / NEURALUDF_FUSED_PRECISION override these
+    fused_core: str = "auto"  # 'auto' (TPU only) | 'on' | 'off'
+    fused_precision: str = "default"  # 'default' (bf16 MXU) | 'high' | 'highest'
 
 
 @dataclass(frozen=True)

@@ -127,10 +127,11 @@ def distance_value_and_gradient(
     forward + custom-VJP backward entirely in VMEM, ~2x the plain-XLA
     nested-AD graph at matched precision); NEURALUDF_FUSED_CORE=0 forces
     the plain path (always used on CPU, where tests validate both against
-    each other)."""
+    each other); cfg.fused_core / cfg.fused_precision are the config-schema
+    switches."""
     from ..ops import fused_distance as fd
 
-    if fd.fused_enabled():
+    if fd.fused_enabled(cfg):
         return fd.distance_value_feat_grad_fused(params, x, cfg)
     out = distance_field_apply(params, x, cfg)
     grad = distance_gradient(params, x, cfg)

@@ -285,8 +285,12 @@ def _build(cfg: UDFNetworkConfig, fwd_block: int, bwd_block: int, prec_name: str
     return fused
 
 
-def fused_enabled() -> bool:
-    flag = os.environ.get("NEURALUDF_FUSED_CORE", "auto").lower()
+def fused_enabled(cfg: UDFNetworkConfig = None) -> bool:
+    """Config-schema switch (cfg.fused_core) with the NEURALUDF_FUSED_CORE
+    env var as an override (empty/unset env -> config value)."""
+    flag = os.environ.get("NEURALUDF_FUSED_CORE", "").lower()
+    if not flag or flag == "auto":
+        flag = (getattr(cfg, "fused_core", "auto") or "auto").lower()
     if flag in ("0", "off", "false"):
         return False
     if flag in ("1", "on", "true"):
@@ -300,6 +304,8 @@ def distance_value_feat_grad_fused(
 ):
     """Drop-in fused replacement for fields.distance_value_and_gradient."""
     ws, bs = effective_weights(params, cfg)
-    prec_name = os.environ.get("NEURALUDF_FUSED_PRECISION", "default").lower()
+    prec_name = os.environ.get("NEURALUDF_FUSED_PRECISION", "").lower() or (
+        getattr(cfg, "fused_precision", "default") or "default"
+    ).lower()
     fn = _build(cfg, fwd_block, bwd_block, prec_name, interpret)
     return fn(x, ws, bs)

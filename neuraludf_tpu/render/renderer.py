@@ -282,8 +282,11 @@ class UDFRenderer:
         gradients3 = gradients.reshape(batch, n, 3)
         gradients_flip = flip_sign.reshape(batch, n, 1) * gradients3
 
+        # relu keeps the term finite for SIGNED distance heads
+        # (model_type='neus'; exp(-s·udf) overflows on udf<0) — a no-op for
+        # the unsigned 'abs'/'square' heads the reference trains
         sparse_error = jnp.mean(
-            jnp.sum(jnp.exp(-rcfg.sparse_scale_factor * udf_2d), axis=1)
+            jnp.sum(jnp.exp(-rcfg.sparse_scale_factor * jnp.maximum(udf_2d, 0.0)), axis=1)
         )
 
         return {
@@ -433,7 +436,7 @@ class UDFRenderer:
             m = (udf_random < 0.01).astype(dtype)
             cnt = m.sum()
             masked_mean = jnp.sum(
-                jnp.exp(-rcfg.sparse_scale_factor * udf_random) * m
+                jnp.exp(-rcfg.sparse_scale_factor * jnp.maximum(udf_random, 0.0)) * m
             ) / jnp.maximum(cnt, 1.0)
             out["sparse_random_error"] = jnp.where(cnt > 10, masked_mean, 0.0)
         else:
