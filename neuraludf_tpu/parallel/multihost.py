@@ -35,6 +35,22 @@ def initialize(coordinator_address: Optional[str] = None,
 
     kwargs = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        missing = [
+            name
+            for name, val in (
+                ("JAX_NUM_PROCESSES", num_processes
+                 or os.environ.get("JAX_NUM_PROCESSES")),
+                ("JAX_PROCESS_ID", process_id
+                 if process_id is not None else os.environ.get("JAX_PROCESS_ID")),
+            )
+            if val is None
+        ]
+        if missing:
+            raise ValueError(
+                "multihost.initialize: JAX_COORDINATOR_ADDRESS is set but "
+                f"{' and '.join(missing)} "
+                "is missing — the coordinator env-var trio must be set together"
+            )
         kwargs = dict(
             coordinator_address=coordinator_address
             or os.environ["JAX_COORDINATOR_ADDRESS"],
@@ -63,11 +79,23 @@ def replicate(tree, mesh):
 
 
 def shard_scans(data_dirs: Sequence[str], process_id: int, num_processes: int) -> List[str]:
-    """Contiguous per-host partition of the scan list (multi-scan DP)."""
+    """Round-robin per-host partition of the scan list (multi-scan DP).
+
+    Round-robin balances the shares (|share_i| differs by at most 1), so
+    trailing hosts only end up empty when n_scans < n_processes; callers
+    must keep scan-less processes alive until the others finish (see
+    barrier()) or the coordination service treats the departed peer as a
+    failure and aborts the remaining hosts mid-training."""
     dirs = list(data_dirs)
-    n = len(dirs)
-    per = -(-n // num_processes)
-    return dirs[process_id * per : (process_id + 1) * per]
+    return dirs[process_id::num_processes]
+
+
+def barrier(name: str = "neuraludf_barrier") -> None:
+    """Block until every process of the distributed job reaches this point
+    (keeps scan-less hosts alive while the others train)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def _self_test() -> None:
@@ -83,22 +111,22 @@ def _self_test() -> None:
     initialize()
     import jax.numpy as jnp
 
-    import __graft_entry__ as g
-    from neuraludf_tpu.parallel.sharding import build_parallel_train_step
-    from neuraludf_tpu.render.renderer import UDFRenderer
-    from neuraludf_tpu.train.optim import init_adam_state
-    from neuraludf_tpu.train.runner import init_params
-    from neuraludf_tpu.train.schedules import compute_step_schedules
+    from ..render.renderer import UDFRenderer
+    from ..train.optim import init_adam_state
+    from ..train.runner import init_params
+    from ..train.schedules import compute_step_schedules
+    from ..utils.testing import synthetic_scene_arrays, tiny_config
+    from .sharding import build_parallel_train_step
 
     n_dev = len(jax.devices())
     assert n_dev > len(jax.local_devices()), "expected a multi-process mesh"
     mesh = global_mesh()
 
-    cfg = g._tiny_config(batch_size=8 * n_dev)
+    cfg = tiny_config(batch_size=8 * n_dev)
     renderer = UDFRenderer(cfg.model)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt_state = init_adam_state(params)
-    scene, pairs = g._synthetic_scene_arrays(jax.random.PRNGKey(1))
+    scene, pairs = synthetic_scene_arrays(jax.random.PRNGKey(1))
 
     # identical host data -> fully-replicated global arrays
     params = replicate(params, mesh)

@@ -5,7 +5,10 @@
 
 Each scan trains with independent parameters; the scan axis is sharded
 over the device mesh (BASELINE.json north-star: 8 cases over a v4-8).
-Scans must share image resolution and view count.
+Scans must share image resolution and view count. Production loop
+(parallel/multi_scan.py:MultiScanRunner): windowed dispatch, per-scan
+checkpoint/resume (single-scan Runner format), periodic per-scan
+validation renders + mesh exports, per-scan trainability state machines.
 """
 
 import argparse
@@ -20,71 +23,88 @@ def main():
     p.add_argument("--conf", type=str, required=True)
     p.add_argument("--cases", type=str, nargs="+", required=True)
     p.add_argument("--end_iter", type=int, default=0)
-    p.add_argument("--report_freq", type=int, default=100)
+    p.add_argument("--report_freq", type=int, default=0,
+                   help="override train.report_freq")
     p.add_argument("--out_dir", type=str, default="./exp/multi_scan")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--is_continue", action="store_true",
+                   help="resume every scan from its newest common checkpoint")
+    p.add_argument("--is_finetune", action="store_true")
+    p.add_argument("--reg_weights_schedule", action="store_true")
+    p.add_argument("--final_mesh_resolution", type=int, default=512)
     p.add_argument("--multihost", action="store_true",
                    help="multi-host pod: initialize jax.distributed and train "
-                        "this process's contiguous share of --cases")
+                        "this process's round-robin share of --cases")
     args = p.parse_args()
 
     from neuraludf_tpu.utils import setup_jax
 
     setup_jax()
 
+    multihost_mod = None
     if args.multihost:
         import jax
 
-        from neuraludf_tpu.parallel import multihost
+        from neuraludf_tpu.parallel import multihost as multihost_mod
 
-        multihost.initialize()
-        args.cases = multihost.shard_scans(
+        multihost_mod.initialize()
+        args.cases = multihost_mod.shard_scans(
             args.cases, jax.process_index(), jax.process_count()
         )
-        if not args.cases:
-            print("no scans assigned to this host")
-            return
-
-    import pickle
 
     import jax
     import numpy as np
 
     from neuraludf_tpu import config as config_mod
-    from neuraludf_tpu.parallel.multi_scan import multi_scan_train
+    from neuraludf_tpu.parallel.multi_scan import MultiScanRunner
     from neuraludf_tpu.parallel.sharding import make_mesh
 
-    overrides = {}
-    if args.end_iter > 0:
-        overrides["train__end_iter"] = args.end_iter
-    # the conf's CASE_NAME resolves per scan inside multi_scan_train
-    cfg = config_mod.load(args.conf, case=args.cases[0], **overrides)
-    data_dirs = [
-        cfg.dataset.data_dir.replace(args.cases[0], case) for case in args.cases
-    ]
+    try:
+        if not args.cases:
+            # fewer scans than hosts: this process has no work, but it must
+            # stay alive until the training hosts finish — leaving early
+            # makes the coordination service treat it as a failed peer and
+            # abort the job (ADVICE r2)
+            print("no scans assigned to this host; waiting at the barrier")
+            return
 
-    if args.multihost:
-        # scans were partitioned per host: each process trains its share on
-        # its LOCAL chips, zero cross-host traffic (scans are independent)
-        from jax.sharding import Mesh
+        overrides = {}
+        if args.end_iter > 0:
+            overrides["train__end_iter"] = args.end_iter
+        if args.report_freq > 0:
+            overrides["train__report_freq"] = args.report_freq
+        # the conf's CASE_NAME resolves per scan
+        cfg = config_mod.load(args.conf, case=args.cases[0], **overrides)
+        data_dirs = [
+            cfg.dataset.data_dir.replace(args.cases[0], case) for case in args.cases
+        ]
 
-        devs = jax.local_devices()
-        mesh = Mesh(np.array(devs[: min(len(devs), len(args.cases))]), ("data",))
-    else:
-        n_dev = len(jax.devices())
-        mesh = make_mesh(min(n_dev, len(args.cases)))
-    print(f"training {len(args.cases)} scans over mesh {mesh.shape}")
+        if args.multihost:
+            # scans were partitioned per host: each process trains its share
+            # on its LOCAL chips, zero cross-host traffic (independent scans)
+            from jax.sharding import Mesh
 
-    params, opt_state, metrics = multi_scan_train(
-        cfg, data_dirs, cfg.train.end_iter, mesh=mesh,
-        seed=args.seed, report_freq=args.report_freq,
-    )
-    os.makedirs(args.out_dir, exist_ok=True)
-    for i, case in enumerate(args.cases):
-        leaf = jax.tree_util.tree_map(lambda x: np.asarray(x[i]), params)
-        with open(os.path.join(args.out_dir, f"{case}.ckpt"), "wb") as f:
-            pickle.dump({"params": leaf, "iter_step": cfg.train.end_iter}, f)
-    print("saved per-scan checkpoints under", args.out_dir)
+            devs = jax.local_devices()
+            mesh = Mesh(np.array(devs[: min(len(devs), len(args.cases))]), ("data",))
+        else:
+            mesh = make_mesh(min(len(jax.devices()), len(args.cases)))
+        print(f"training {len(args.cases)} scans over mesh {mesh.shape}")
+
+        runner = MultiScanRunner(
+            cfg, data_dirs, case_names=args.cases, mesh=mesh,
+            out_dir=args.out_dir, seed=args.seed,
+            is_continue=args.is_continue, is_finetune=args.is_finetune,
+            reg_weights_schedule=args.reg_weights_schedule,
+        )
+        runner.train()
+        runner.save_checkpoints()
+        meshes = runner.final_meshes(resolution=args.final_mesh_resolution)
+        print("saved per-scan checkpoints + meshes under", args.out_dir)
+        for case, m in zip(args.cases, meshes):
+            print(f"  {case}: {m}")
+    finally:
+        if args.multihost and multihost_mod is not None:
+            multihost_mod.barrier("multi_scan_done")
 
 
 if __name__ == "__main__":

@@ -81,5 +81,9 @@ def test_shard_scans_partition():
 
     dirs = [f"scan{i}" for i in range(8)]
     parts = [shard_scans(dirs, p, 3) for p in range(3)]
-    assert sum(parts, []) == dirs  # disjoint, ordered, complete
-    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1 + 1
+    assert sorted(sum(parts, [])) == sorted(dirs)  # disjoint + complete
+    # round-robin: balanced shares (differ by at most 1)
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1
+    # no host goes empty unless n_scans < n_processes
+    assert all(parts)
+    assert shard_scans(["a"], 1, 2) == []  # fewer scans than hosts
