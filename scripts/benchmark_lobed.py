@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--sparse_weight", type=float, default=0.001)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the newest checkpoint under the tag dir")
+    ap.add_argument("--init_ckpt", default=None,
+                    help="with --skip_train: load this stage-1 checkpoint "
+                         "instead of the newest one under the tag dir (lets a "
+                         "fresh ft tag start from a previous run's stage-1)")
     args = ap.parse_args()
 
     os.environ["NEURALUDF_FUSED_CORE"] = args.fused
@@ -104,14 +108,15 @@ def main():
 
     train_s = 0.0
     if args.skip_train:
-        ck = runner._latest_checkpoint()
-        assert ck, f"--skip_train but no checkpoint under {exp_dir}"
-        runner.load_checkpoint(ck)
+        stage1_ck = args.init_ckpt or runner._latest_checkpoint()
+        assert stage1_ck, f"--skip_train but no checkpoint under {exp_dir}"
+        runner.load_checkpoint(stage1_ck)
     else:
         t0 = time.time()
         runner.train()
         train_s = time.time() - t0
         runner.save_checkpoint()
+        stage1_ck = runner._latest_checkpoint()
 
     if args.ft_iters:
         from neuraludf_tpu.config import ColorLossConfig
@@ -120,6 +125,9 @@ def main():
             cfg,
             train=dataclasses.replace(
                 cfg.train, end_iter=args.ft_iters,
+                # reference DTU ft schedule (udf_dtu_blending_ft.conf:24-33):
+                # lr 1e-4 both groups, warm-up 5k, fix_geo 500, anneal 25k
+                learning_rate=1e-4, learning_rate_geo=1e-4, fix_geo_end=500,
                 warm_up_end=min(5000, args.ft_iters // 10),
                 anneal_end=min(25_000, args.ft_iters // 2),
             ),
@@ -136,7 +144,7 @@ def main():
         )
         ft_runner = Runner(ft_cfg, seed=0, is_finetune=True,
                            reg_weights_schedule=args.sparse_weight > 0)
-        ft_runner.load_checkpoint(runner._latest_checkpoint())
+        ft_runner.load_checkpoint(stage1_ck)
         t0 = time.time()
         ft_runner.train()
         train_s += time.time() - t0
