@@ -151,6 +151,16 @@ class RendererConfig:
     sparse_scale_factor: float = 25000.0
     h_patch_size: int = 3
     use_norm_grad_for_cosine: bool = False
+    # Blending warp sampler. 'gather' = exact XLA bilinear gathers (fast on
+    # CPU, catastrophic on TPU: per-element gathers measure 7.0 s/step at
+    # the production ft shape); 'strip' = the gather-free Pallas strip
+    # sampler (ops/strip_sample.py) over the blend_top_k highest-weight
+    # samples per ray; 'auto' = strip on TPU when the images fit a strip,
+    # gather otherwise.
+    warp_sampler: str = "auto"  # 'auto' | 'gather' | 'strip'
+    blend_top_k: int = 32  # samples warped per ray under the strip sampler
+    blend_chunk: int = 8  # consecutive samples sharing one strip DMA
+    strip_height: int = 64  # strip rows (covers taller warp clusters)
 
 
 @dataclass(frozen=True)

@@ -26,6 +26,17 @@ def build_patch_offset(h_patch_size: int) -> np.ndarray:
     return np.stack([gx, gy], axis=-1).reshape(-1, 2).astype(np.float32)
 
 
+def cam2pixel_abs(pts, proj_rot, proj_tr) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project world points to ABSOLUTE pixel coordinates for every view.
+
+    pts: [B, S, 3]; proj_rot: [V, 3, 3]; proj_tr: [V, 3, 1].
+    Returns (x, y) [V, B, S] in pixels (ref: projector_utils.py:8-48).
+    """
+    pc = jnp.einsum("vij,bsj->vbsi", proj_rot, pts) + proj_tr[:, None, None, :, 0]
+    X, Y, Z = pc[..., 0], pc[..., 1], jnp.maximum(pc[..., 2], 1e-3)
+    return X / Z, Y / Z
+
+
 def cam2pixel_grid(pts, proj_rot, proj_tr, size_wh) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Project world points into normalized pixel grids for every view.
 
@@ -35,10 +46,9 @@ def cam2pixel_grid(pts, proj_rot, proj_tr, size_wh) -> Tuple[jnp.ndarray, jnp.nd
     (ref: projector_utils.py:8-48).
     """
     W, H = size_wh
-    pc = jnp.einsum("vij,bsj->vbsi", proj_rot, pts) + proj_tr[:, None, None, :, 0]
-    X, Y, Z = pc[..., 0], pc[..., 1], jnp.maximum(pc[..., 2], 1e-3)
-    x_norm = 2.0 * (X / Z) / (W - 1) - 1.0
-    y_norm = 2.0 * (Y / Z) / (H - 1) - 1.0
+    x_abs, y_abs = cam2pixel_abs(pts, proj_rot, proj_tr)
+    x_norm = 2.0 * x_abs / (W - 1) - 1.0
+    y_norm = 2.0 * y_abs / (H - 1) - 1.0
     valid = (jnp.abs(x_norm) < 1.0) & (jnp.abs(y_norm) < 1.0)
     x_norm = jnp.where(jnp.abs(x_norm) > 1.0, 2.0, x_norm)
     y_norm = jnp.where(jnp.abs(y_norm) > 1.0, 2.0, y_norm)
@@ -51,6 +61,16 @@ class PatchProjector:
         self.offsets = jnp.asarray(build_patch_offset(h_patch_size))  # [Npx, 2]
         self.plane_dist_thresh = 0.001
 
+    def pixel_warp_positions(self, pts, intrinsics, w2cs, size_hw):
+        """Absolute warp positions for pixel_warp: pts [B, S, 3] →
+        (gx, gy) [V, B, S] pixels, valid [V, B, S] (strictly in-frame,
+        matching cam2pixel_grid's `< 1.0` bound)."""
+        H, W = size_hw
+        proj = jnp.einsum("vij,vjk->vik", intrinsics[:, :3, :3], w2cs[:, :3, :])
+        gx, gy = cam2pixel_abs(pts, proj[:, :3, :3], proj[:, :3, 3:])
+        valid = (gx > 0.0) & (gx < W - 1.0) & (gy > 0.0) & (gy < H - 1.0)
+        return gx, gy, valid
+
     def pixel_warp(self, pts, imgs, intrinsics, w2cs):
         """pts: [B, S, 3]; imgs: [V, 3, H, W]; intrinsics/w2cs: [V, 4, 4].
         Returns colors [B, S, V, 3], mask [B, S, V]
@@ -61,22 +81,22 @@ class PatchProjector:
         colors = jax.vmap(grid_sample_2d)(imgs, grid)  # [V, B, S, 3]
         return colors.transpose(1, 2, 0, 3), valid.transpose(1, 2, 0)
 
-    def patch_warp(
-        self, pts, uv, normals, src_imgs, ref_intrinsic, src_intrinsics,
+    def patch_warp_positions(
+        self, pts, uv, normals, size_hw, ref_intrinsic, src_intrinsics,
         ref_c2w, src_c2ws, *, detach_normal: bool = False,
     ):
-        """Homography patch warp (ref: patch_projector.py:45-150).
+        """Absolute homography-warp positions (ref: patch_projector.py:45-150).
 
         pts: [B, S, 3]; uv: [B, 2] in (-1, 1); normals: [B, S, 3] world;
-        src_imgs: [V, 3, H, W]. Returns colors [B, S, V, 3, Npx] —
-        CHANNEL-PACKED, patch axis minor (a channel-minor layout tiles a
-        production-shape [B·S·V·Npx, 3] intermediate to 128 lanes on TPU:
-        a 42x padding blowup that OOMs the chip) — and mask [B, S, V, Npx].
+        size_hw = (H, W) of the source images. Returns gx, gy [V, B, S, Npx]
+        in pixels and mask [V, B, S, Npx] (z>0 and h_patch_size inside the
+        frame). Position math is shared by the gather and strip samplers.
         """
+        sizeH, sizeW = size_hw
         if detach_normal:
             normals = jax.lax.stop_gradient(normals)
         B, S, _ = pts.shape
-        V, _, sizeH, sizeW = src_imgs.shape
+        V = src_intrinsics.shape[0]
         npx = self.offsets.shape[0]
 
         uv_px = jnp.stack(
@@ -156,7 +176,25 @@ class PatchProjector:
 
         h = self.h_patch_size
         mask = mask & (gx < (sizeW - h)) & (gy < (sizeH - h)) & (gx >= h) & (gy >= h)
+        return gx, gy, mask
 
+    def patch_warp(
+        self, pts, uv, normals, src_imgs, ref_intrinsic, src_intrinsics,
+        ref_c2w, src_c2ws, *, detach_normal: bool = False,
+    ):
+        """Homography patch warp (ref: patch_projector.py:45-150).
+
+        pts: [B, S, 3]; uv: [B, 2] in (-1, 1); normals: [B, S, 3] world;
+        src_imgs: [V, 3, H, W]. Returns colors [B, S, V, 3, Npx] —
+        CHANNEL-PACKED, patch axis minor (a channel-minor layout tiles a
+        production-shape [B·S·V·Npx, 3] intermediate to 128 lanes on TPU:
+        a 42x padding blowup that OOMs the chip) — and mask [B, S, V, Npx].
+        """
+        V, _, sizeH, sizeW = src_imgs.shape
+        gx, gy, mask = self.patch_warp_positions(
+            pts, uv, normals, (sizeH, sizeW), ref_intrinsic, src_intrinsics,
+            ref_c2w, src_c2ws, detach_normal=detach_normal,
+        )
         gx = jnp.clip(2.0 * gx / (sizeW - 1) - 1.0, -10.0, 10.0)
         gy = jnp.clip(2.0 * gy / (sizeH - 1) - 1.0, -10.0, 10.0)
 

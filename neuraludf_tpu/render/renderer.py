@@ -78,6 +78,129 @@ class UDFRenderer:
             return r.n_samples + (r.n_importance // r.up_sample_steps) * r.up_sample_steps
         return mix_total_samples(r.n_samples, r.n_importance, r.up_sample_steps)
 
+    # -- blending warp sampler dispatch --------------------------------------
+
+    def _strip_active(self, blending) -> bool:
+        """Whether the blending warps run through the Pallas strip sampler
+        (ops/strip_sample.py) instead of XLA gathers. Trace-time decision."""
+        mode = self.rcfg.warp_sampler
+        if mode == "gather" or blending is None:
+            return False
+        from ..ops.strip_sample import SW, _round_up
+
+        _, _, h, w = blending["color_maps"].shape
+        fits = (
+            _round_up(h, 16) >= self.rcfg.strip_height
+            and _round_up(w, 128) >= SW
+            and self.rcfg.blend_top_k > 0
+        )
+        if mode == "strip":
+            if not fits:
+                raise ValueError(
+                    f"warp_sampler='strip' needs images of at least "
+                    f"{self.rcfg.strip_height}x{SW}, got {h}x{w}"
+                )
+            return True
+        assert mode == "auto", mode
+        return fits and jax.default_backend() == "tpu"
+
+    def _blend_warp_strip(self, blending, pts3, normals_w, alpha_fg, opts):
+        """Warp the blend_top_k highest-weight samples per ray through the
+        gather-free strip sampler.
+
+        The warp positions are constants w.r.t. the networks (z-vals are
+        sampled no-grad, normals detached — ref udf_renderer_blending.py:
+        637-643, patch_projector.py:45), so sampling is forward-only;
+        gradients reach the loss through blending logits and compositing
+        weights exactly as in the gather path.
+
+        Returns (idx [B, K] z-sorted sample indices, pix_color [B, K, V, 3]
+        | None, pix_mask, patch_color [B, K, V, 3, Npx] | None, patch_mask,
+        coverage scalar = fraction of warp positions whose strip covers
+        them).
+        """
+        from ..ops import strip_sample as ss
+
+        rcfg = self.rcfg
+        batch, n, _ = pts3.shape
+        chunk = max(1, min(rcfg.blend_chunk, rcfg.blend_top_k, n))
+        k = min(rcfg.blend_top_k, n)
+        k -= k % chunk
+        imgs = blending["color_maps"]  # [V, 3, H, W]
+        v, _, h, w_img = imgs.shape
+
+        w_sel = jax.lax.stop_gradient(transmittance_weights(alpha_fg))  # [B, n]
+        _, idx = jax.lax.top_k(w_sel, k)
+        idx = jnp.sort(idx, axis=-1)  # z-order: consecutive samples cluster
+        take3 = lambda a: jnp.take_along_axis(a, idx[..., None], axis=1)
+        pts_k = take3(pts3)  # [B, K, 3]
+
+        parts_x, parts_y = [], []
+        npx = 0
+        patch_geo_mask = pix_geo_valid = None
+        if opts.patch_blending:
+            normals_k = take3(normals_w)
+            pgx, pgy, patch_geo_mask = self.projector.patch_warp_positions(
+                pts_k, blending["rays_uv"], normals_k, (h, w_img),
+                blending["intrinsics"][0], blending["intrinsics"],
+                blending["query_c2w"], jnp.linalg.inv(blending["w2cs"]),
+                detach_normal=True,
+            )  # [V, B, K, Npx]
+            npx = pgx.shape[-1]
+            parts_x.append(pgx)
+            parts_y.append(pgy)
+        if opts.pixel_blending:
+            xg, yg, pix_geo_valid = self.projector.pixel_warp_positions(
+                pts_k, blending["intrinsics"], blending["w2cs"], (h, w_img)
+            )  # [V, B, K]
+            parts_x.append(xg[..., None])
+            parts_y.append(yg[..., None])
+
+        gx = jnp.concatenate(parts_x, axis=-1)  # [V, B, K, stride]
+        gy = jnp.concatenate(parts_y, axis=-1)
+        stride = gx.shape[-1]
+        nchunks = k // chunk
+        pc = chunk * stride
+        p_strip = ss._round_up(pc, 128)
+        gx = gx.reshape(v, batch, nchunks, pc)
+        gy = gy.reshape(v, batch, nchunks, pc)
+        if p_strip != pc:
+            # pad with an IN-CLUSTER position (the chunk's first) so padding
+            # never drags the strip origin away from the real points
+            padx = jnp.broadcast_to(gx[..., :1], (v, batch, nchunks, p_strip - pc))
+            pady = jnp.broadcast_to(gy[..., :1], (v, batch, nchunks, p_strip - pc))
+            gx = jnp.concatenate([gx, padx], axis=-1)
+            gy = jnp.concatenate([gy, pady], axis=-1)
+        gx = gx.reshape(v, batch * nchunks, p_strip)
+        gy = gy.reshape(v, batch * nchunks, p_strip)
+
+        imgs4 = ss.prepare_images(imgs)
+        colors, in_strip = ss.strip_sample(
+            imgs4, gx, gy, sh=rcfg.strip_height,
+            interpret=jax.default_backend() != "tpu",
+        )  # [V, NW, 3, P], [V, NW, P]
+
+        colors = colors.reshape(v, batch, nchunks, 3, p_strip)[..., :pc]
+        colors = colors.reshape(v, batch, nchunks, 3, chunk, stride)
+        colors = colors.transpose(0, 1, 2, 4, 3, 5).reshape(v, batch, k, 3, stride)
+        in_strip = in_strip.reshape(v, batch, nchunks, p_strip)[..., :pc]
+        in_strip = in_strip.reshape(v, batch, k, stride)
+
+        pix_color = pix_mask = patch_color = patch_mask = None
+        off = 0
+        if opts.patch_blending:
+            patch_color = colors[..., off:off + npx].transpose(1, 2, 0, 3, 4)
+            patch_mask = (patch_geo_mask & in_strip[..., off:off + npx]).transpose(
+                1, 2, 0, 3
+            )  # [B, K, V, Npx]
+            off += npx
+        if opts.pixel_blending:
+            pix_color = colors[..., off].transpose(1, 2, 0, 3)  # [B, K, V, 3]
+            pix_mask = (pix_geo_valid & in_strip[..., off]).transpose(1, 2, 0)
+
+        coverage = jnp.mean(in_strip.astype(jnp.float32))
+        return idx, pix_color, pix_mask, patch_color, patch_mask, coverage
+
     # -- background (NeRF++) -------------------------------------------------
 
     def render_core_outside(
@@ -191,28 +314,41 @@ class UDFRenderer:
         sampled_color_pixel = None
         sampled_color_patch = None
         sampled_color_patch_mask = None
+        blend_idx = None  # [B, K] sample subset under the strip sampler
+        strip_coverage = None
         if blending is not None and (opts.pixel_blending or opts.patch_blending):
             pts3 = pts.reshape(batch, n, 3)
-            pix_color = pix_mask = patch_color = patch_mask = None
-            if opts.pixel_blending:
-                pix_color, pix_mask = self.projector.pixel_warp(
-                    pts3, blending["color_maps"], blending["intrinsics"], blending["w2cs"]
-                )
-            if opts.patch_blending:
+            if self._strip_active(blending):
                 normals_w = (flip_sign * grad_norm).reshape(batch, n, 3)
-                patch_color, patch_mask = self.projector.patch_warp(
-                    pts3,
-                    blending["rays_uv"],
-                    normals_w,
-                    blending["color_maps"],
-                    blending["intrinsics"][0],
-                    blending["intrinsics"],
-                    blending["query_c2w"],
-                    jnp.linalg.inv(blending["w2cs"]),
-                    detach_normal=True,
+                (blend_idx, pix_color, pix_mask, patch_color, patch_mask,
+                 strip_coverage) = self._blend_warp_strip(
+                    blending, pts3, normals_w, alpha, opts
                 )
+                logits_sel = jnp.take_along_axis(
+                    blending_logits, blend_idx[..., None], axis=1
+                )  # [B, K, n_cand]
+            else:
+                pix_color = pix_mask = patch_color = patch_mask = None
+                if opts.pixel_blending:
+                    pix_color, pix_mask = self.projector.pixel_warp(
+                        pts3, blending["color_maps"], blending["intrinsics"], blending["w2cs"]
+                    )
+                if opts.patch_blending:
+                    normals_w = (flip_sign * grad_norm).reshape(batch, n, 3)
+                    patch_color, patch_mask = self.projector.patch_warp(
+                        pts3,
+                        blending["rays_uv"],
+                        normals_w,
+                        blending["color_maps"],
+                        blending["intrinsics"][0],
+                        blending["intrinsics"],
+                        blending["query_c2w"],
+                        jnp.linalg.inv(blending["w2cs"]),
+                        detach_normal=True,
+                    )
+                logits_sel = blending_logits
             pix_c, _pix_m, patch_c, patch_m = fields.color_blend(
-                blending_logits,
+                logits_sel,
                 img_index=blending.get("img_index"),
                 pts_pixel_color=pix_color,
                 pts_pixel_mask=pix_mask,
@@ -220,10 +356,10 @@ class UDFRenderer:
                 pts_patch_mask=patch_mask,
             )
             if opts.pixel_blending:
-                sampled_color_pixel = pix_c  # [B, n, 3]
+                sampled_color_pixel = pix_c  # [B, n, 3] ([B, K, 3] strip)
             if opts.patch_blending:
-                sampled_color_patch = patch_c  # [B, n, 3, Npx] channel-packed
-                sampled_color_patch_mask = patch_m[..., 0]  # [B, n]
+                sampled_color_patch = patch_c  # [B, n|K, 3, Npx] channel-packed
+                sampled_color_patch_mask = patch_m[..., 0]  # [B, n|K]
 
         # ------- eikonal terms ----------------------------------------------
         pts_norm = jnp.linalg.norm(pts, axis=-1).reshape(batch, n)
@@ -241,7 +377,7 @@ class UDFRenderer:
             sampled_color = jnp.concatenate(
                 [sampled_color, background_sampled_color[:, n_fg:]], axis=1
             )
-            if sampled_color_pixel is not None:
+            if sampled_color_pixel is not None and blend_idx is None:
                 scp = sampled_color_pixel * inside_sphere[:, :, None] + \
                     background_sampled_color[:, :n_fg] * (1.0 - inside_sphere)[:, :, None]
                 sampled_color_pixel = jnp.concatenate(
@@ -254,19 +390,45 @@ class UDFRenderer:
         color_base_out = jnp.sum(sampled_color_base * weights[:, :, None], axis=1)
         color_out = jnp.sum(sampled_color * weights[:, :, None], axis=1)
 
+        # under the strip sampler blended colors exist only at the top-K
+        # sample subset; composite with the SAME transmittance weights
+        # gathered at those samples (the fg prefix of `weights` is
+        # unaffected by the appended background samples)
+        weights_k = None
+        if blend_idx is not None:
+            weights_k = jnp.take_along_axis(weights[:, :n_fg], blend_idx, axis=1)
+
         color_pixel = None
         if sampled_color_pixel is not None:
-            color_pixel = jnp.sum(sampled_color_pixel * weights[:, :, None], axis=1)
+            if blend_idx is None:
+                color_pixel = jnp.sum(sampled_color_pixel * weights[:, :, None], axis=1)
+            elif background_alpha is not None:
+                inside_k = jnp.take_along_axis(inside_sphere, blend_idx, axis=1)
+                color_pixel = (
+                    jnp.sum(sampled_color_pixel * (weights_k * inside_k)[:, :, None], axis=1)
+                    + jnp.sum(
+                        background_sampled_color[:, :n_fg]
+                        * (weights[:, :n_fg] * (1.0 - inside_sphere))[:, :, None],
+                        axis=1,
+                    )
+                    + jnp.sum(
+                        background_sampled_color[:, n_fg:] * weights[:, n_fg:, None],
+                        axis=1,
+                    )
+                )
+            else:
+                color_pixel = jnp.sum(sampled_color_pixel * weights_k[:, :, None], axis=1)
 
         fused_patch_colors = fused_patch_mask = None
         if sampled_color_patch is not None:
-            # channel-packed [B, n, 3, Npx] fuse over samples, then a tiny
+            # channel-packed [B, n|K, 3, Npx] fuse over samples, then a tiny
             # [B, 3, Npx] -> [B, Npx, 3] transpose for the public contract
+            w_patch = weights[:, :n_fg] if blend_idx is None else weights_k
             fused_patch_colors = jnp.einsum(
-                "bscp,bs->bpc", sampled_color_patch, weights[:, :n_fg]
+                "bscp,bs->bpc", sampled_color_patch, w_patch
             )  # [B, Npx, 3]
             fused_patch_mask = jnp.sum(
-                sampled_color_patch_mask.astype(weights.dtype) * weights[:, :n_fg], axis=1
+                sampled_color_patch_mask.astype(weights.dtype) * w_patch, axis=1
             )  # [B]
 
         depth = jnp.sum(mid_z * weights[:, :n_fg], axis=-1, keepdims=True)
@@ -318,6 +480,12 @@ class UDFRenderer:
             "sparse_error": sparse_error,
             "alpha_occ": alpha_occ,
             "raw_occ": raw_occ,
+            # fraction of blending warp positions covered by their strip
+            # (1.0 when the strip sampler is off; see _blend_warp_strip)
+            "blend_strip_cover": (
+                strip_coverage if strip_coverage is not None
+                else jnp.ones((), z_vals.dtype)
+            ),
         }
 
     # -- public entry ----------------------------------------------------------

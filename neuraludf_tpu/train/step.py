@@ -34,6 +34,7 @@ METRIC_KEYS: List[str] = [
     "color_pixel_loss", "color_patch_loss", "mask_loss", "gradient_error",
     "gradient_error_near_surface", "sparse_error", "psnr", "variance",
     "beta", "gamma", "udf_min", "udf_mean", "weight_sum", "weight_sum_fg_bg",
+    "blend_strip_cover",
 ]
 
 
@@ -150,6 +151,7 @@ def build_step_body(cfg: Config, renderer: UDFRenderer, *, blending: bool):
             "udf_mean": jnp.mean(ret["udf"]),
             "weight_sum": jnp.sum(ret["weight_sum"] * mask) / mask_sum,
             "weight_sum_fg_bg": jnp.sum(ret["weight_sum_fg_bg"] * mask) / mask_sum,
+            "blend_strip_cover": ret["blend_strip_cover"],
         }
         return total, metrics
 

@@ -1,0 +1,209 @@
+"""The gather-free strip sampler (ops/strip_sample.py) and its renderer
+integration (warp_sampler='strip').
+
+Run on CPU in Pallas interpret mode. Test images are exactly one strip
+(64 x 256), so strip escapes are impossible and the strip path must match
+the gather path everywhere up to the bf16 image quantization the kernel
+uses (the gather oracle samples in f32).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neuraludf_tpu.ops.strip_sample import (
+    prepare_images, strip_sample, strip_sample_reference,
+)
+from neuraludf_tpu.render.renderer import RenderOptions, UDFRenderer
+
+from test_projector_losses import make_cameras
+from test_renderer_parity import build_pair, make_rays
+
+H, W = 64, 256  # one strip exactly
+
+
+def _clustered_positions(key, v=2, nw=6, p=128):
+    kc, ko = jax.random.split(key)
+    cx = jax.random.uniform(kc, (v, nw, 1), minval=30.0, maxval=W - 30.0)
+    cy = jax.random.uniform(jax.random.fold_in(kc, 1), (v, nw, 1),
+                            minval=10.0, maxval=H - 10.0)
+    ox = jax.random.uniform(ko, (v, nw, p), minval=-25.0, maxval=25.0)
+    oy = jax.random.uniform(jax.random.fold_in(ko, 1), (v, nw, p),
+                            minval=-9.0, maxval=9.0)
+    return cx + ox, cy + oy
+
+
+def test_strip_sample_matches_gather_oracle():
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 3, H, W), jnp.float32)
+    imgs4 = prepare_images(imgs)
+    gx, gy = _clustered_positions(jax.random.fold_in(key, 1))
+
+    out, in_strip = strip_sample(imgs4, gx, gy, interpret=True)
+    ref, in_img = strip_sample_reference(imgs4, gx, gy)
+
+    np.testing.assert_array_equal(np.asarray(in_strip), np.asarray(in_img))
+    m = np.broadcast_to(np.asarray(in_strip)[:, :, None, :], out.shape)
+    d = np.abs(np.asarray(out) - np.asarray(ref))[m]
+    assert d.max() < 5e-3, d.max()  # bf16 image quantization bound
+
+
+def test_strip_sample_out_of_image_masked():
+    key = jax.random.PRNGKey(2)
+    imgs4 = prepare_images(jax.random.uniform(key, (1, 3, H, W), jnp.float32))
+    gx = jnp.array([[[-5.0, 10.0, W + 3.0, 128.0]]])
+    gy = jnp.array([[[12.0, -1.0, 30.0, H + 2.0]]])
+    out, in_strip = strip_sample(imgs4, gx, gy, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(in_strip)[0, 0], [False, False, False, False]
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _strip_renderer(j_rend, **kw):
+    rcfg = dataclasses.replace(j_rend.cfg.udf_renderer, warp_sampler="strip", **kw)
+    return UDFRenderer(dataclasses.replace(j_rend.cfg, udf_renderer=rcfg))
+
+
+@pytest.mark.parametrize("n_outside", [0, 4])
+def test_render_strip_matches_gather_path(n_outside):
+    """With blend_top_k == all fg samples, the strip path must equal the
+    gather path (same masks, same composite) up to bf16 sampling error."""
+    _, j_rend, params = build_pair(
+        upsampling_type="classical", n_outside=n_outside, h_patch_size=2
+    )
+    n_fg = j_rend.n_fg_samples()  # 26
+    rays_o, rays_d, near, far = make_rays(batch=4, seed=7)
+    imgs, intrinsics, c2ws = make_cameras(n_views=3, H=H, W=W, seed=8)
+    w2cs = np.linalg.inv(c2ws)
+    ref_c2w = np.eye(4, dtype=np.float32)
+    ref_c2w[:3, 3] = [0, 0, -2.0]
+    rng = np.random.RandomState(9)
+    rays_uv = rng.uniform(-0.5, 0.5, (4, 2)).astype(np.float32)
+    blending = {
+        "color_maps": jnp.asarray(imgs),
+        "w2cs": jnp.asarray(w2cs),
+        "intrinsics": jnp.asarray(intrinsics),
+        "query_c2w": jnp.asarray(ref_c2w),
+        "rays_uv": jnp.asarray(rays_uv),
+        "img_index": None,
+    }
+    opts = RenderOptions(
+        perturb=False, compute_random_sparse=False,
+        pixel_blending=True, patch_blending=True,
+    )
+    kwargs = dict(
+        key=jax.random.PRNGKey(0), cos_anneal_ratio=0.9, flip_saturation=1.0,
+        blending=blending, opts=opts,
+    )
+    ret_g = j_rend.render(
+        params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(near), jnp.asarray(far), **kwargs
+    )
+    s_rend = _strip_renderer(j_rend, blend_top_k=n_fg, blend_chunk=13)
+    ret_s = s_rend.render(
+        params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(near), jnp.asarray(far), **kwargs
+    )
+    assert float(ret_s["blend_strip_cover"]) == 1.0
+    for k in ["color", "color_pixel", "patch_colors", "patch_mask", "weight_sum"]:
+        np.testing.assert_allclose(
+            np.asarray(ret_s[k]), np.asarray(ret_g[k]),
+            rtol=5e-3, atol=5e-3, err_msg=k,
+        )
+
+
+def test_render_strip_gradients_match_gather_path():
+    """Gradients (through blending logits + compositing weights) must agree
+    between samplers — sampling is forward-only in both."""
+    _, j_rend, params = build_pair(
+        upsampling_type="classical", n_outside=0, h_patch_size=2
+    )
+    n_fg = j_rend.n_fg_samples()
+    rays_o, rays_d, near, far = make_rays(batch=3, seed=3)
+    imgs, intrinsics, c2ws = make_cameras(n_views=3, H=H, W=W, seed=4)
+    blending = {
+        "color_maps": jnp.asarray(imgs),
+        "w2cs": jnp.asarray(np.linalg.inv(c2ws)),
+        "intrinsics": jnp.asarray(intrinsics),
+        "query_c2w": jnp.asarray(np.eye(4, dtype=np.float32)),
+        "rays_uv": jnp.asarray(
+            np.random.RandomState(5).uniform(-0.5, 0.5, (3, 2)).astype(np.float32)
+        ),
+        "img_index": None,
+    }
+    opts = RenderOptions(
+        perturb=False, compute_random_sparse=False,
+        pixel_blending=True, patch_blending=True,
+    )
+    s_rend = _strip_renderer(j_rend, blend_top_k=n_fg, blend_chunk=13)
+
+    def make_loss(rend):
+        def loss(p):
+            ret = rend.render(
+                p, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                jnp.asarray(near), jnp.asarray(far),
+                key=jax.random.PRNGKey(0), cos_anneal_ratio=0.9,
+                flip_saturation=1.0, blending=blending, opts=opts,
+            )
+            return (
+                jnp.mean(ret["patch_colors"] ** 2)
+                + jnp.mean(ret["color_pixel"] ** 2)
+            )
+        return loss
+
+    g_gather = jax.grad(make_loss(j_rend))(params)
+    g_strip = jax.grad(make_loss(s_rend))(params)
+    leaves_g, _ = jax.tree_util.tree_flatten(g_gather)
+    leaves_s, _ = jax.tree_util.tree_flatten(g_strip)
+    norm_g = float(sum(jnp.sum(x * x) for x in leaves_g)) ** 0.5
+    assert norm_g > 0.0
+    num = float(sum(jnp.sum((a - b) ** 2) for a, b in zip(leaves_g, leaves_s))) ** 0.5
+    assert num / norm_g < 0.05, num / norm_g
+
+
+def test_render_strip_topk_truncation_close():
+    """With a small top-k the composite should still be close to the dense
+    path: the dropped samples carry little transmittance weight."""
+    _, j_rend, params = build_pair(
+        upsampling_type="classical", n_outside=0, h_patch_size=2
+    )
+    rays_o, rays_d, near, far = make_rays(batch=4, seed=11)
+    imgs, intrinsics, c2ws = make_cameras(n_views=3, H=H, W=W, seed=12)
+    blending = {
+        "color_maps": jnp.asarray(imgs),
+        "w2cs": jnp.asarray(np.linalg.inv(c2ws)),
+        "intrinsics": jnp.asarray(intrinsics),
+        "query_c2w": jnp.asarray(np.eye(4, dtype=np.float32)),
+        "rays_uv": jnp.asarray(
+            np.random.RandomState(13).uniform(-0.5, 0.5, (4, 2)).astype(np.float32)
+        ),
+        "img_index": None,
+    }
+    opts = RenderOptions(
+        perturb=False, compute_random_sparse=False,
+        pixel_blending=True, patch_blending=True,
+    )
+    kwargs = dict(
+        key=jax.random.PRNGKey(0), cos_anneal_ratio=0.9, flip_saturation=1.0,
+        blending=blending, opts=opts,
+    )
+    ret_g = j_rend.render(
+        params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(near), jnp.asarray(far), **kwargs
+    )
+    s_rend = _strip_renderer(j_rend, blend_top_k=16, blend_chunk=8)
+    ret_s = s_rend.render(
+        params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(near), jnp.asarray(far), **kwargs
+    )
+    # dropped weight mass bounds the composite deviation
+    w = np.sort(np.asarray(ret_g["weights"]), axis=-1)
+    dropped = w[:, :-16].sum(axis=-1).max()
+    for k in ["patch_colors", "color_pixel"]:
+        d = np.abs(np.asarray(ret_s[k]) - np.asarray(ret_g[k])).max()
+        assert d <= dropped + 5e-3, (k, d, dropped)
