@@ -65,6 +65,60 @@ def test_dp_matches_single_chip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_dp_matches_single_chip_blending(tmp_path):
+    """Ray-DP equality for the BLENDING (finetune) step — pixel+patch
+    warping losses active (VERDICT r2 weak #4)."""
+    import dataclasses
+
+    import __graft_entry__ as g
+    from neuraludf_tpu.config import ColorLossConfig
+    from neuraludf_tpu.parallel.sharding import build_parallel_train_step, make_mesh
+    from neuraludf_tpu.render.renderer import UDFRenderer
+    from neuraludf_tpu.train.optim import init_adam_state
+    from neuraludf_tpu.train.runner import init_params
+    from neuraludf_tpu.train.schedules import compute_step_schedules
+    from neuraludf_tpu.train.step import build_train_step
+
+    cfg = dataclasses.replace(
+        g._tiny_config(batch_size=32),
+        color_loss=ColorLossConfig(
+            color_base_weight=0.01, color_weight=1.0,
+            color_pixel_weight=0.1, color_patch_weight=0.1,
+            pixel_loss_type="l1", patch_loss_type="ssim", h_patch_size=3,
+        ),
+    )
+    renderer = UDFRenderer(cfg.model)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = init_adam_state(params)
+    scene, pairs = g._synthetic_scene_arrays(jax.random.PRNGKey(1))
+    s = compute_step_schedules(
+        5, cfg.train, 0.01, 1.0, 0.1, 0.1,
+        is_finetune=True, reg_weights_schedule=False, same_lr=False,
+        beta_trainable=True, variance_trainable=True,
+    )
+    sched = dict(s.__dict__)
+
+    step1 = build_train_step(cfg, renderer, blending=True)
+    p1, o1, m1 = step1(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jax.tree_util.tree_map(jnp.copy, opt_state),
+        scene, pairs, jnp.asarray(0), jax.random.PRNGKey(2), sched,
+    )
+
+    mesh = make_mesh(8)
+    stepN = build_parallel_train_step(cfg, renderer, mesh, blending=True)
+    with mesh:
+        pN, oN, mN = stepN(
+            jax.tree_util.tree_map(jnp.copy, params),
+            jax.tree_util.tree_map(jnp.copy, opt_state),
+            scene, pairs, jnp.asarray(0), jax.random.PRNGKey(2), sched,
+        )
+    assert np.isfinite(float(m1["color_patch_loss"]))
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_multi_scan_step():
     """Independent per-scan training, scans sharded over devices."""
     import __graft_entry__ as g

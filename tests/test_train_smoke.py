@@ -169,6 +169,38 @@ def test_field_dumps_and_novel_view(scene_dir, tmp_path):
     assert os.path.exists(os.path.join(r.base_exp_dir, "render", "0.png"))
 
 
+def test_file_backup_and_colorize_depth(scene_dir, tmp_path, monkeypatch):
+    """file_backup snapshots .py sources + resolved config into the
+    experiment dir (ref: exp_runner_blending.py:449-465); colorize_depth
+    maps a depth image through a matplotlib colormap (ref: :847-865)."""
+    from neuraludf_tpu.train.runner import Runner, colorize_depth
+
+    workdir = tmp_path / "src"
+    workdir.mkdir()
+    (workdir / "models").mkdir()
+    (workdir / "models" / "a.py").write_text("x = 1\n")
+    (workdir / "models" / "skip.txt").write_text("not python\n")
+    monkeypatch.chdir(workdir)
+
+    cfg = tiny_config(scene_dir, str(tmp_path / "exp4"), end_iter=2)
+    cfg = dataclasses.replace(
+        cfg, general=dataclasses.replace(cfg.general, recording=("models",))
+    )
+    r = Runner(cfg)
+    r.file_backup()
+    rec = os.path.join(r.base_exp_dir, "recording")
+    assert os.path.exists(os.path.join(rec, "models", "a.py"))
+    assert not os.path.exists(os.path.join(rec, "models", "skip.txt"))
+    assert "end_iter=2" in open(os.path.join(rec, "config.txt")).read()
+
+    depth = np.linspace(0.0, 2.0, 12).reshape(3, 4)
+    rgb = colorize_depth(depth)
+    assert rgb.shape == (3, 4, 3) and rgb.dtype == np.uint8
+    assert not np.array_equal(rgb[0, 0], rgb[-1, -1])  # colormap varies
+    flat = colorize_depth(np.ones((2, 2)))  # vmin == vmax guard
+    assert np.isfinite(flat).all()
+
+
 def test_bmvs_layout(tmp_path):
     """The bmvs (jpg) dataset layout loads."""
     import shutil
