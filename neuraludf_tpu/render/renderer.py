@@ -45,6 +45,11 @@ class RenderOptions:
     pixel_blending: bool = False
     patch_blending: bool = False
     compute_random_sparse: bool = True
+    # Full-frame validation renders force the XLA gather warp path: the
+    # strip kernel inside the chunked lax.scan validation program crashes
+    # the axon compile helper at 1200x1664 image operands, and validation
+    # is dispatch-bound anyway (occasional, huge chunks).
+    force_gather_warp: bool = False
 
 
 class UDFRenderer:
@@ -318,7 +323,7 @@ class UDFRenderer:
         strip_coverage = None
         if blending is not None and (opts.pixel_blending or opts.patch_blending):
             pts3 = pts.reshape(batch, n, 3)
-            if self._strip_active(blending):
+            if not opts.force_gather_warp and self._strip_active(blending):
                 normals_w = (flip_sign * grad_norm).reshape(batch, n, 3)
                 (blend_idx, pix_color, pix_mask, patch_color, patch_mask,
                  strip_coverage) = self._blend_warp_strip(

@@ -442,6 +442,7 @@ class Runner:
             perturb=self.cfg.model.udf_renderer.perturb > 0,
             compute_random_sparse=False,
             pixel_blending=pixel_blending,
+            force_gather_warp=True,
         )
 
         @jax.jit
