@@ -12,9 +12,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
     import logging
 
     logging.basicConfig(level=logging.INFO)
+
+    ap = argparse.ArgumentParser(
+        description="blending-step latency; flags sweep the strip-sampler "
+                    "geometry (ops/strip_sample.py) for throughput A/Bs")
+    ap.add_argument("--strip_height", type=int, default=None)
+    ap.add_argument("--blend_chunk", type=int, default=None)
+    ap.add_argument("--blend_top_k", type=int, default=None)
+    ap.add_argument("--skip_stage1", action="store_true")
+    args = ap.parse_args()
 
     from neuraludf_tpu.utils import setup_jax
 
@@ -49,6 +59,23 @@ def main():
                                              h_patch_size=5),
         ),
     )
+    rc_over = {
+        k: v for k, v in (
+            ("strip_height", args.strip_height),
+            ("blend_chunk", args.blend_chunk),
+            ("blend_top_k", args.blend_top_k),
+        ) if v is not None
+    }
+    if rc_over:
+        print("strip-sampler overrides:", rc_over)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                udf_renderer=dataclasses.replace(
+                    cfg.model.udf_renderer, **rc_over),
+            ),
+        )
     ds = Dataset(cfg.dataset)
     renderer = UDFRenderer(cfg.model)
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -61,7 +88,9 @@ def main():
     sched = dict(s.__dict__)
 
     results = {}
-    for name, blending in (("stage1", False), ("blending", True)):
+    stages = (("blending", True),) if args.skip_stage1 else (
+        ("stage1", False), ("blending", True))
+    for name, blending in stages:
         step = build_train_step(cfg, renderer, blending=blending)
         p = jax.tree_util.tree_map(jnp.copy, params)
         o = jax.tree_util.tree_map(jnp.copy, opt)
@@ -90,6 +119,10 @@ def main():
             "compile_s": round(compile_s, 1),
             "single_blocked_ms": round(single_ms, 1),
             "pipelined_ms": round(burst_ms, 1),
+            # fraction of warp positions covered by their strip — must stay
+            # ~1.0 when shrinking strip_height/growing blend_chunk
+            "strip_cover": round(float(np.asarray(m["blend_strip_cover"])), 4)
+            if blending else None,
         }
         print(name, results[name], flush=True)
     print(json.dumps(results))
