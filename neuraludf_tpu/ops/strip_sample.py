@@ -59,17 +59,19 @@ DEFAULT_SH = 64  # strip height; covers clusters up to 48 px tall (y0 slack 16)
 DEFAULT_WB = 8  # strips per grid step (DMA double-buffered)
 
 
-def _make_kernel(sh: int, wb: int, p: int):
+def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
     def kernel(y0_ref, x0_ref, rx_ref, ry_ref, img_ref, out_ref, slab, sem):
         v = pl.program_id(0)
         w = pl.program_id(1)
+
+        nc = 3 if fused_dot else 4  # fused variant skips the pad channel's DMA
 
         def dma(slot, j):
             b = w * wb + j
             y0 = pl.multiple_of(y0_ref[v, b], 16)
             x0 = pl.multiple_of(x0_ref[v, b], 128)
             return pltpu.make_async_copy(
-                img_ref.at[v, :, pl.ds(y0, sh), pl.ds(x0, SW)],
+                img_ref.at[v, pl.ds(0, nc), pl.ds(y0, sh), pl.ds(x0, SW)],
                 slab.at[slot],
                 sem.at[slot],
             )
@@ -91,19 +93,30 @@ def _make_kernel(sh: int, wb: int, p: int):
             hat_c = jax.nn.relu(1.0 - jnp.abs(xi - rx)).astype(jnp.bfloat16)
             hat_r = jax.nn.relu(1.0 - jnp.abs(yi - ry))  # f32
 
-            for c in range(3):
-                s = slab[j % 2, c]  # [SH, SW] bf16
+            if fused_dot:
+                # one full-tile matmul over the channel-flattened strip
+                # (M = 3*sh rows) instead of three M=sh dots: the MXU tiles
+                # M in 128s, so sh=64 per-channel dots run half-empty
+                s = slab[j % 2].reshape(3 * sh, SW)
                 t = jax.lax.dot(s, hat_c, preferred_element_type=jnp.float32)
-                out_ref[0, j, c * p:(c + 1) * p] = jnp.sum(hat_r * t, axis=0)
+                for c in range(3):
+                    out_ref[0, j, c * p:(c + 1) * p] = jnp.sum(
+                        hat_r * t[c * sh:(c + 1) * sh], axis=0
+                    )
+            else:
+                for c in range(3):
+                    s = slab[j % 2, c]  # [SH, SW] bf16
+                    t = jax.lax.dot(s, hat_c, preferred_element_type=jnp.float32)
+                    out_ref[0, j, c * p:(c + 1) * p] = jnp.sum(hat_r * t, axis=0)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=16)
 def _build_call(v: int, nw: int, p: int, h: int, w_img: int,
-                sh: int, wb: int, interpret: bool):
+                sh: int, wb: int, fused_dot: bool, interpret: bool):
     grid = (v, nw // wb)
-    kernel = _make_kernel(sh, wb, p)
+    kernel = _make_kernel(sh, wb, p, fused_dot)
     blk = lambda *shape: pl.BlockSpec(
         shape,
         lambda vi, wi, y0, x0: (vi, wi) + (0,) * (len(shape) - 2),
@@ -119,7 +132,7 @@ def _build_call(v: int, nw: int, p: int, h: int, w_img: int,
         ],
         out_specs=blk(1, wb, 3 * p),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, sh, SW), jnp.bfloat16),
+            pltpu.VMEM((2, 3 if fused_dot else 4, sh, SW), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -174,6 +187,7 @@ def strip_sample(
     *,
     sh: int = DEFAULT_SH,
     wb: int = DEFAULT_WB,
+    fused_dot: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinearly sample per-view images at strip-clustered positions.
@@ -216,7 +230,7 @@ def strip_sample(
         y0 = jnp.pad(y0, [(0, 0), (0, nw_pad - nw)])
         x0 = jnp.pad(x0, [(0, 0), (0, nw_pad - nw)])
 
-    fn = _build_call(v, nw_pad, p_pad, h, w_img, sh, wb, interpret)
+    fn = _build_call(v, nw_pad, p_pad, h, w_img, sh, wb, fused_dot, interpret)
     flat = fn(y0, x0, rx, ry, images4)  # [V, NWpad, 3*Ppad]
     colors = flat.reshape(v, nw_pad, 3, p_pad)[:, :nw, :, :p]
     return colors, in_strip

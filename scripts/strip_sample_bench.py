@@ -60,13 +60,16 @@ def main():
             ts.append(time.time() - t0)
         return 1000 * min(ts)
 
-    for sh, wb in ((64, 8), (64, 16), (32, 8)):
-        f = jax.jit(lambda i, x, y, s=sh, b=wb: strip_sample(i, x, y, sh=s, wb=b)[0].sum())
+    for sh, wb, fd in ((64, 8, False), (64, 8, True), (64, 16, False),
+                       (32, 8, False), (32, 8, True), (32, 16, True)):
+        f = jax.jit(lambda i, x, y, s=sh, b=wb, d=fd:
+                    strip_sample(i, x, y, sh=s, wb=b, fused_dot=d)[0].sum())
         try:
             t = timeit(f, imgs4, gx, gy)
-            print(f"sh={sh} wb={wb}: {t:.1f} ms", flush=True)
+            print(f"sh={sh} wb={wb} fused={int(fd)}: {t:.1f} ms", flush=True)
         except Exception as e:
-            print(f"sh={sh} wb={wb}: FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
+            print(f"sh={sh} wb={wb} fused={int(fd)}: FAIL "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
     # include image prep cost
     f = jax.jit(lambda i, x, y: strip_sample(prepare_images(i), x, y)[0].sum())

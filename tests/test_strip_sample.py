@@ -43,13 +43,14 @@ def test_strip_sample_matches_gather_oracle():
     imgs4 = prepare_images(imgs)
     gx, gy = _clustered_positions(jax.random.fold_in(key, 1))
 
-    out, in_strip = strip_sample(imgs4, gx, gy, interpret=True)
     ref, in_img = strip_sample_reference(imgs4, gx, gy)
-
-    np.testing.assert_array_equal(np.asarray(in_strip), np.asarray(in_img))
-    m = np.broadcast_to(np.asarray(in_strip)[:, :, None, :], out.shape)
-    d = np.abs(np.asarray(out) - np.asarray(ref))[m]
-    assert d.max() < 5e-3, d.max()  # bf16 image quantization bound
+    for fused in (False, True):
+        out, in_strip = strip_sample(imgs4, gx, gy, interpret=True,
+                                     fused_dot=fused)
+        np.testing.assert_array_equal(np.asarray(in_strip), np.asarray(in_img))
+        m = np.broadcast_to(np.asarray(in_strip)[:, :, None, :], out.shape)
+        d = np.abs(np.asarray(out) - np.asarray(ref))[m]
+        assert d.max() < 5e-3, (fused, d.max())  # bf16 quantization bound
 
 
 def test_strip_sample_out_of_image_masked():
