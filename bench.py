@@ -135,5 +135,46 @@ def main():
     )
 
 
+def _watchdog() -> int:
+    """Run the measurement in a child process with a timeout and retries.
+
+    The axon relay occasionally hangs a dispatch indefinitely (see
+    .claude/skills/verify/SKILL.md "Wedged chip"); a flaky hang would
+    otherwise turn a healthy 18 ms/step chip into a no-result bench run.
+    The child is this same file with NEURALUDF_BENCH_INNER=1.
+    """
+    import subprocess
+
+    env = dict(os.environ, NEURALUDF_BENCH_INNER="1")
+    timeout_s = float(os.environ.get("NEURALUDF_BENCH_TIMEOUT", "480"))
+    last = None
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout_s, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1}: timed out after "
+                  f"{timeout_s:.0f}s (relay hang) — retrying", file=sys.stderr)
+            time.sleep(30)
+            continue
+        sys.stderr.write(proc.stderr)
+        last = proc
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            return 0
+        print(f"bench attempt {attempt + 1}: rc={proc.returncode} — retrying",
+              file=sys.stderr)
+        time.sleep(30)
+    if last is not None:
+        sys.stdout.write(last.stdout)
+        return last.returncode or 1
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("NEURALUDF_BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(_watchdog())
