@@ -29,6 +29,11 @@ WARMUP = 5
 ITERS = 30
 
 
+def _milestone(msg):
+    """Stderr progress line; the watchdog treats these as liveness."""
+    print(f"bench[{time.strftime('%H:%M:%S')}]: {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from neuraludf_tpu.utils import setup_jax
@@ -36,6 +41,13 @@ def main():
     setup_jax()
     import jax
     import jax.numpy as jnp
+
+    # Tiny health op first: if the relay is wedged (verify skill, "Wedged
+    # chip"), we block HERE — visibly, before any compile — and this very
+    # blocked op is what eventually drains the wedge.
+    t0 = time.time()
+    np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+    _milestone(f"chip health ok ({time.time() - t0:.0f}s)")
 
     from neuraludf_tpu import config as config_mod
     from neuraludf_tpu.data.dataset import Dataset
@@ -95,15 +107,21 @@ def main():
         )
         return mrows
 
+    t0 = time.time()
     m = run_one(0)  # compile + warm
     np.asarray(m)  # force a real device->host transfer: on the axon relay
     # backend block_until_ready returns before execution completes
+    _milestone(f"compiled + warm ({time.time() - t0:.0f}s)")
 
     n_windows = max(1, ITERS // window) * 2
     t0 = time.time()
     for i in range(1, 1 + n_windows):
         m = run_one(i)
         np.asarray(m)
+        _milestone(
+            f"window {i}/{n_windows}: "
+            f"{1e3 * (time.time() - t0) / (i * window):.2f} ms/step running avg"
+        )
     dt = (time.time() - t0) / (n_windows * window)
 
     prof_dir = os.environ.get("NEURALUDF_BENCH_PROFILE", "")
@@ -136,41 +154,57 @@ def main():
 
 
 def _watchdog() -> int:
-    """Run the measurement in a child process with a timeout and retries.
+    """Run the measurement in ONE monitored child process — never killed.
 
-    The axon relay occasionally hangs a dispatch indefinitely (see
-    .claude/skills/verify/SKILL.md "Wedged chip"); a flaky hang would
-    otherwise turn a healthy 18 ms/step chip into a no-result bench run.
-    The child is this same file with NEURALUDF_BENCH_INNER=1.
+    Round-3 lesson (.claude/skills/verify/SKILL.md "Wedged chip"): killing a
+    TPU process mid-dispatch WEDGES the remote worker for 20-40 min, and a
+    kill+retry loop re-poisons it on every attempt (that is exactly how the
+    round-3 bench recorded 3x480 s timeouts on a healthy build). So:
+
+      - the child prints a liveness milestone before/after every phase;
+      - the watchdog only declares a hang when NO new output has appeared
+        for NEURALUDF_BENCH_STALL seconds (default 900 — a wedged relay
+        recovers spontaneously in ~20-40 min, and the child's own blocked
+        health op is what drains it);
+      - on a hang the child is LEFT RUNNING (detached): it finishes the
+        drain so the *next* bench run finds a healthy chip. We echo all
+        partial output and exit 1.
     """
     import subprocess
+    import tempfile
 
     env = dict(os.environ, NEURALUDF_BENCH_INNER="1")
-    timeout_s = float(os.environ.get("NEURALUDF_BENCH_TIMEOUT", "480"))
-    last = None
-    for attempt in range(3):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout_s, capture_output=True, text=True,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt + 1}: timed out after "
-                  f"{timeout_s:.0f}s (relay hang) — retrying", file=sys.stderr)
-            time.sleep(30)
-            continue
-        sys.stderr.write(proc.stderr)
-        last = proc
-        if proc.returncode == 0 and proc.stdout.strip():
-            sys.stdout.write(proc.stdout)
-            return 0
-        print(f"bench attempt {attempt + 1}: rc={proc.returncode} — retrying",
-              file=sys.stderr)
-        time.sleep(30)
-    if last is not None:
-        sys.stdout.write(last.stdout)
-        return last.returncode or 1
-    return 1
+    stall_s = float(os.environ.get("NEURALUDF_BENCH_STALL", "900"))
+    out_f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.out", delete=False)
+    err_f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.err", delete=False)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=out_f, stderr=err_f, text=True,
+    )
+    last_size = -1
+    last_activity = time.time()
+    while True:
+        rc = proc.poll()
+        size = os.path.getsize(err_f.name) + os.path.getsize(out_f.name)
+        if size != last_size:
+            last_size = size
+            last_activity = time.time()
+        if rc is not None:
+            break
+        if time.time() - last_activity > stall_s:
+            sys.stderr.write(open(err_f.name).read())
+            print(
+                f"bench: no output for {stall_s:.0f}s — relay hang. Leaving "
+                f"the measurement process (pid {proc.pid}) running to drain "
+                f"the wedge; re-run bench.py once it exits.", file=sys.stderr)
+            sys.stdout.write(open(out_f.name).read())
+            return 1
+        time.sleep(5)
+    sys.stderr.write(open(err_f.name).read())
+    sys.stdout.write(open(out_f.name).read())
+    return rc
 
 
 if __name__ == "__main__":

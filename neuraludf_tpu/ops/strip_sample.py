@@ -173,8 +173,12 @@ def strip_origins(gx, gy, h: int, w: int, sh: int):
     strips fully inside the image."""
     cx = 0.5 * (jnp.min(gx, axis=-1) + jnp.max(gx, axis=-1))
     cy = 0.5 * (jnp.min(gy, axis=-1) + jnp.max(gy, axis=-1))
-    x0 = jnp.floor((cx - SW * 0.5) / 128.0).astype(jnp.int32) * 128
-    y0 = jnp.floor((cy - sh * 0.5) / 16.0).astype(jnp.int32) * 16
+    # Round the origin to the NEAREST alignment so the cluster midrange is
+    # centred: cx-x0 in [64, 192), cy-y0 in [sh/2-8, sh/2+8). Plain floor
+    # put cx-x0 in [128, 256), so a cluster near the documented width
+    # escaped off the strip's right edge ~half the time.
+    x0 = jnp.floor((cx - SW * 0.5) / 128.0 + 0.5).astype(jnp.int32) * 128
+    y0 = jnp.floor((cy - sh * 0.5) / 16.0 + 0.5).astype(jnp.int32) * 16
     x0 = jnp.clip(x0, 0, ((w - SW) // 128) * 128)
     y0 = jnp.clip(y0, 0, ((h - sh) // 16) * 16)
     return y0, x0

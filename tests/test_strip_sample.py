@@ -53,6 +53,45 @@ def test_strip_sample_matches_gather_oracle():
         assert d.max() < 5e-3, (fused, d.max())  # bf16 quantization bound
 
 
+def test_strip_placement_large_image():
+    """Origin placement on an image many strips wide/tall: clusters within
+    the documented extent (<=126 px wide, <=46 px tall) must land fully
+    inside their strip at ANY position, and values must match the oracle.
+    Guards the round-to-nearest origin rule (floor biased clusters off the
+    strip's right/bottom edge ~half the time)."""
+    bigH, bigW = 512, 1024
+    key = jax.random.PRNGKey(21)
+    imgs4 = prepare_images(jax.random.uniform(key, (2, 3, bigH, bigW), jnp.float32))
+    kc, ko = jax.random.split(jax.random.fold_in(key, 1))
+    v, nw, p = 2, 32, 128
+    # centers anywhere the full cluster stays in-image (incl. near borders)
+    cx = jax.random.uniform(kc, (v, nw, 1), minval=63.0, maxval=bigW - 64.0)
+    cy = jax.random.uniform(jax.random.fold_in(kc, 1), (v, nw, 1),
+                            minval=23.0, maxval=bigH - 24.0)
+    gx = cx + jax.random.uniform(ko, (v, nw, p), minval=-63.0, maxval=63.0)
+    gy = cy + jax.random.uniform(jax.random.fold_in(ko, 1), (v, nw, p),
+                                 minval=-23.0, maxval=23.0)
+    ref, _ = strip_sample_reference(imgs4, gx, gy)
+    out, in_strip = strip_sample(imgs4, gx, gy, interpret=True)
+    assert bool(np.asarray(in_strip).all()), (
+        f"cluster escaped its strip: cover={np.asarray(in_strip).mean():.4f}"
+    )
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 5e-3
+
+
+def test_strip_placement_zero_width_cluster_far_right():
+    """A degenerate (zero-extent) cluster far from x=0 must never escape —
+    the floor rule lost these when cx-x0 crossed 255."""
+    bigH, bigW = 256, 2048
+    imgs4 = prepare_images(
+        jax.random.uniform(jax.random.PRNGKey(3), (1, 3, bigH, bigW), jnp.float32))
+    xs = jnp.linspace(1.0, bigW - 2.0, 64).reshape(1, 64, 1)
+    ys = jnp.full((1, 64, 1), 100.0)
+    _, in_strip = strip_sample(imgs4, jnp.repeat(xs, 8, -1),
+                               jnp.repeat(ys, 8, -1), interpret=True)
+    assert bool(np.asarray(in_strip).all())
+
+
 def test_strip_sample_out_of_image_masked():
     key = jax.random.PRNGKey(2)
     imgs4 = prepare_images(jax.random.uniform(key, (1, 3, H, W), jnp.float32))
