@@ -15,6 +15,11 @@ external data is needed for the test suite or bench.py. Two kinds:
   via per-crossing bisection on the implicit f(x) = |x| − r(x/|x|).
   Rendered at 49 DTU-like views, 1600×1200 (the DTU rig scale,
   ref docs: 49/64-view scans at 1600×1200).
+* ``garment`` — the DF3D-benchmark stand-in: a draped open skirt (linear
+  waist→hem flare, seven irregular drape folds) with openings at BOTH
+  ends — a zero-thickness double-sided sheet, the geometry class UDFs
+  exist for. Black background (the garment recipe trains with
+  n_outside=0 and no mask loss, ref confs/udf_garment_blending.conf).
 
 The reference ships no synthetic scenes (it trains on DTU/DeepFashion3D
 only); this module is the framework's hermetic stand-in for those datasets.
@@ -30,6 +35,8 @@ import numpy as np
 SPHERE_RADIUS = 0.5
 CAPSULE_CUT_Y = 0.2
 LOBED_CUT_Y = 0.28
+GARMENT_Y_TOP = 0.35  # waist opening
+GARMENT_Y_BOT = -0.45  # hem opening
 
 
 def lobed_radius(dirs: np.ndarray) -> np.ndarray:
@@ -62,26 +69,58 @@ def _lobed_f(pts: np.ndarray) -> np.ndarray:
 
 
 def _lobed_normal(pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
-    """Geometric (unoriented) normal of the lobed surface via central
-    differences of the implicit function."""
+    """Geometric (unoriented) normal of the lobed surface."""
+    return _numeric_normal(_lobed_f, pts, eps)
+
+
+def garment_radius(y: np.ndarray, theta: np.ndarray) -> np.ndarray:
+    """Skirt radius field R(y, θ) of the ``garment`` benchmark shell: a
+    linear waist→hem flare with seven drape folds whose amplitude grows
+    toward the hem (phase-modulated so folds are not perfectly periodic —
+    the DF3D garments' drape is irregular)."""
+    s = (GARMENT_Y_TOP - y) / (GARMENT_Y_TOP - GARMENT_Y_BOT)  # 0 waist, 1 hem
+    base = 0.16 + 0.26 * s
+    amp = 0.005 + 0.045 * s
+    return (base + amp * np.cos(7.0 * theta + 0.8 * np.sin(2.0 * theta + 1.3))).astype(
+        np.float32
+    )
+
+
+def _garment_f(pts: np.ndarray) -> np.ndarray:
+    """Implicit function of the (uncut, infinite-flute) garment surface:
+    cylindrical-radial distance to the drape sheet. The y-slab cut is the
+    `cut` predicate, exactly like the lobed cap cut."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    r_cyl = np.sqrt(x * x + z * z)
+    theta = np.arctan2(z, x)
+    return (r_cyl - garment_radius(y, theta)).astype(np.float32)
+
+
+def _garment_cut(p: np.ndarray) -> np.ndarray:
+    return (p[:, 1] >= GARMENT_Y_BOT) & (p[:, 1] <= GARMENT_Y_TOP)
+
+
+def _numeric_normal(f, pts: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    """Geometric (unoriented) normal via central differences of f."""
     n = np.empty_like(pts)
     for a in range(3):
         off = np.zeros((1, 3), np.float32)
         off[0, a] = eps
-        n[:, a] = _lobed_f(pts + off) - _lobed_f(pts - off)
+        n[:, a] = f(pts + off) - f(pts - off)
     n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     return n
 
 
-def _trace_lobed(rays_o, rays_d, n_steps: int = 192, max_crossings: int = 4):
+def _trace_implicit(rays_o, rays_d, f, cut, bound: float,
+                    n_steps: int = 192, max_crossings: int = 4):
     """Exact open-shell trace: walk the bounding-sphere span, bisect every
     sign change of f in order, keep the first crossing that survives the
-    cap cut (a ray through the hole legitimately hits the INNER wall).
+    cut (a ray through an opening legitimately hits the INNER wall).
     Returns (hit, points, normals). All dense work is subset to the rays
-    that intersect the r=0.6 bounding sphere (~20% of a full frame)."""
+    that intersect the bounding sphere (~20% of a full frame)."""
     N = rays_o.shape[0]
     b = np.sum(rays_o * rays_d, axis=-1)
-    c = np.sum(rays_o * rays_o, axis=-1) - 0.6 * 0.6
+    c = np.sum(rays_o * rays_o, axis=-1) - bound * bound
     disc = b * b - c
     span = np.flatnonzero(disc > 0.0)
     hit = np.zeros(N, bool)
@@ -94,7 +133,7 @@ def _trace_lobed(rays_o, rays_d, n_steps: int = 192, max_crossings: int = 4):
     t0 = np.maximum(-b[span] - sq, 0.0)
     t1 = np.maximum(-b[span] + sq, 0.0)
     ts = t0[:, None] + (t1 - t0)[:, None] * np.linspace(0.0, 1.0, n_steps, dtype=np.float32)[None]
-    fs = _lobed_f(o[:, None, :] + ts[..., None] * d[:, None, :])
+    fs = f(o[:, None, :] + ts[..., None] * d[:, None, :])
     sign_change = fs[:, :-1] * fs[:, 1:] < 0.0
     order = np.cumsum(sign_change, axis=1)  # 1-based index of each crossing
 
@@ -111,21 +150,36 @@ def _trace_lobed(rays_o, rays_d, n_steps: int = 192, max_crossings: int = 4):
         ot, dt = o[todo], d[todo]
         for _ in range(22):  # (t1-t0)/n_steps / 2^22 ~ 1e-9 — exact
             mid = 0.5 * (lo + hi)
-            fm = _lobed_f(ot + mid[:, None] * dt)
+            fm = f(ot + mid[:, None] * dt)
             same = (fm * flo) > 0.0
             lo = np.where(same, mid, lo)
             flo = np.where(same, fm, flo)
             hi = np.where(same, hi, mid)
         p = ot + (0.5 * (lo + hi))[:, None] * dt
-        ok = p[:, 1] <= LOBED_CUT_Y
+        ok = cut(p)
         s_pts[todo[ok]] = p[ok]
         s_hit[todo[ok]] = True
     pts[span] = s_pts
     hit[span] = s_hit
     normals = np.zeros((N, 3), np.float32)
     if s_hit.any():
-        normals[span[s_hit]] = _lobed_normal(s_pts[s_hit])
+        normals[span[s_hit]] = _numeric_normal(f, s_pts[s_hit])
     return hit, pts, normals
+
+
+def _trace_lobed(rays_o, rays_d, n_steps: int = 192, max_crossings: int = 4):
+    return _trace_implicit(
+        rays_o, rays_d, _lobed_f, lambda p: p[:, 1] <= LOBED_CUT_Y, 0.6,
+        n_steps=n_steps, max_crossings=max_crossings,
+    )
+
+
+def _trace_garment(rays_o, rays_d):
+    # folds can graze a near-tangent ray repeatedly: 6 crossings, finer scan
+    return _trace_implicit(
+        rays_o, rays_d, _garment_f, _garment_cut, 0.75,
+        n_steps=256, max_crossings=6,
+    )
 
 
 def look_at_pose(
@@ -203,9 +257,20 @@ def _camera_rig_dtu(n_views: int = 49, dist: float = 2.2) -> np.ndarray:
     """DTU-like rig: `n_views` cameras on a golden-angle spiral over a
     spherical band (elevation ≈ −12°…58°), the coverage pattern of the
     DTU robot arm (49 positions above/around the table)."""
+    return _spiral_rig(n_views, dist, -12.0, 58.0)
+
+
+def _camera_rig_garment(n_views: int = 49, dist: float = 2.2) -> np.ndarray:
+    """DF3D-like rig: a full golden-angle spiral band (−35°…60°) around the
+    garment — the DeepFashion3D renderings circle the mannequin and include
+    below-hem views (the skirt has openings at BOTH ends)."""
+    return _spiral_rig(n_views, dist, -35.0, 60.0)
+
+
+def _spiral_rig(n_views: int, dist: float, elev_lo: float, elev_hi: float) -> np.ndarray:
     ga = np.pi * (3.0 - np.sqrt(5.0))
     i = np.arange(n_views, dtype=np.float32)
-    elev = np.deg2rad(-12.0 + (58.0 - (-12.0)) * (i + 0.5) / n_views)
+    elev = np.deg2rad(elev_lo + (elev_hi - elev_lo) * (i + 0.5) / n_views)
     az = ga * i
     d = np.stack(
         [np.cos(elev) * np.sin(az), np.sin(elev), -np.cos(elev) * np.cos(az)], axis=-1
@@ -290,6 +355,24 @@ def _shade(pts, normals, rays_o, rays_d, hit):
     return np.where(hit[:, None], color, _env_background(rays_o, rays_d))
 
 
+def _shade_garment(pts, normals, rays_o, rays_d, hit):
+    """Garment shading: the lobed texture/light stack over a BLACK
+    background. The garment recipe trains with n_outside=0 and no mask loss
+    (ref confs/udf_garment_blending.conf:44,122): there is no background
+    model at all, so zero radiance outside the object is what makes the
+    composite consistent (the DF3D renderings are black-backed too)."""
+    u = np.arctan2(pts[:, 2], pts[:, 0])
+    y = pts[:, 1]
+    # fold-following stripe pattern + fine grain: strong parallax anchors
+    stripes = 0.5 + 0.5 * np.sin(14.0 * u + 9.0 * y)
+    albedo = _texture(pts) * (0.70 + 0.30 * stripes[:, None])
+    l1 = np.abs(normals @ _LIGHT)[:, None]
+    l2 = np.abs(normals @ _LIGHT2)[:, None]
+    head = np.abs(np.sum(normals * rays_d, axis=-1, keepdims=True))
+    color = albedo * (0.30 + 0.50 * l1 + 0.20 * l2) * (0.40 + 0.60 * head)
+    return np.where(hit[:, None], color, np.zeros((1, 3), np.float32))
+
+
 def _shade_lobed(pts, normals, rays_o, rays_d, hit):
     """Benchmark-scene shading: fine multi-scale texture, two fixed
     lights, and a headlight rim anchor (see _shade for why)."""
@@ -317,7 +400,7 @@ def generate_scene(
     """Ray-trace and write an IDR-layout scene directory."""
     import cv2 as cv
 
-    assert kind in ("sphere", "capsule", "lobed"), kind
+    assert kind in ("sphere", "capsule", "lobed", "garment"), kind
     os.makedirs(os.path.join(out_dir, "image"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
 
@@ -333,22 +416,29 @@ def generate_scene(
     dirs_cam = pix @ K_inv.T
     dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
 
-    rig = _camera_rig_dtu(n_views) if kind == "lobed" else _camera_ring(n_views)
+    if kind == "lobed":
+        rig = _camera_rig_dtu(n_views)
+    elif kind == "garment":
+        rig = _camera_rig_garment(n_views)
+    else:
+        rig = _camera_ring(n_views)
     cams = {}
     for i, loc in enumerate(rig):
         pose = look_at_pose(loc)
         rays_d = dirs_cam @ pose[:3, :3].T
         rays_o = np.broadcast_to(pose[:3, 3], rays_d.shape)
-        if kind == "lobed":
+        if kind in ("lobed", "garment"):
+            tracer = _trace_lobed if kind == "lobed" else _trace_garment
+            shader = _shade_lobed if kind == "lobed" else _shade_garment
             # chunked: the sign-change scan holds [chunk, n_steps] floats
             hs, ps, ns = [], [], []
             for s in range(0, len(rays_d), 200_000):
-                h, p, n = _trace_lobed(rays_o[s : s + 200_000], rays_d[s : s + 200_000])
+                h, p, n = tracer(rays_o[s : s + 200_000], rays_d[s : s + 200_000])
                 hs.append(h), ps.append(p), ns.append(n)
             hit = np.concatenate(hs)
             pts = np.concatenate(ps)
             normals = np.concatenate(ns)
-            color = _shade_lobed(pts, normals, rays_o, rays_d, hit)
+            color = shader(pts, normals, rays_o, rays_d, hit)
         else:
             hit, pts, normals = _trace(rays_o, rays_d, kind)
             color = _shade(pts, normals, rays_o, rays_d, hit)
@@ -411,6 +501,22 @@ def lobed_observability_mask(res: float = 0.01, n_seg: int = 64):
 def gt_surface_points(kind: str, n: int = 200_000, seed: int = 0) -> np.ndarray:
     """Exact GT surface samples (for Chamfer evaluation of trained scenes)."""
     rng = np.random.RandomState(seed)
+    if kind == "garment":
+        # area-weighted rejection sampling over the (θ, y) parameterization:
+        # dA = sqrt(R² + (∂R/∂θ)²) · sqrt(1 + (∂R/∂y)²) dθ dy
+        m = int(n * 2.5)
+        theta = rng.uniform(-np.pi, np.pi, m).astype(np.float32)
+        y = rng.uniform(GARMENT_Y_BOT, GARMENT_Y_TOP, m).astype(np.float32)
+        eps = 1e-3
+        r = garment_radius(y, theta)
+        drdt = (garment_radius(y, theta + eps) - garment_radius(y, theta - eps)) / (2 * eps)
+        drdy = (garment_radius(y + eps, theta) - garment_radius(y - eps, theta)) / (2 * eps)
+        w = np.sqrt(r * r + drdt * drdt) * np.sqrt(1.0 + drdy * drdy)
+        keep = rng.uniform(0.0, w.max(), m) < w
+        theta, y, r = theta[keep][:n], y[keep][:n], r[keep][:n]
+        return np.stack(
+            [r * np.cos(theta), y, r * np.sin(theta)], axis=-1
+        ).astype(np.float32)
     v = rng.normal(size=(int(n * 2.0), 3))
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
     if kind == "capsule":

@@ -41,11 +41,26 @@ def stack_params(cfg: Config, n_scans: int, seed: int = 0):
     )
 
 
-def build_multi_scan_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, blending: bool = False):
+def best_mesh_size(n_scans: int, n_devices: int) -> int:
+    """Largest device count that evenly divides the scan axis — the stacked
+    leaves are sharded P('data'), so the mesh size MUST divide S (e.g. 6
+    scans on 4 chips run on a 3-device mesh, 2 scans per device)."""
+    for d in range(min(n_scans, n_devices), 0, -1):
+        if n_scans % d == 0:
+            return d
+    return 1
+
+
+def build_multi_scan_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *,
+                          blending: bool = False, per_scan_sched: bool = False):
     """Returns jitted step(params_S, opt_S, scene_S, pairs_S, img_idx_S,
-    keys_S, sched) with every stacked leaf sharded over the mesh."""
+    keys_S, sched) with every stacked leaf sharded over the mesh.
+
+    per_scan_sched=True maps the schedule dict over the scan axis too
+    ({k: [S]} entries) — needed when scans run independent beta/variance
+    trainability state machines (the blending fallback dispatch)."""
     single = _unjitted_single_step(cfg, renderer, blending=blending)
-    vstep = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, None))
+    vstep = jax.vmap(single, in_axes=(0, 0, 0, 0, 0, 0, 0 if per_scan_sched else None))
 
     def shard_leaf(x):
         return jax.lax.with_sharding_constraint(
@@ -69,12 +84,12 @@ def _unjitted_single_step(cfg: Config, renderer: UDFRenderer, *, blending: bool)
 
 def build_multi_scan_window(
     cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, blending: bool = False,
-    window: int = 1,
 ):
-    """`window` multi-scan iterations fused into ONE dispatch: a lax.scan
+    """A window of multi-scan iterations fused into ONE dispatch: a lax.scan
     over the vmapped per-scan step (the production dispatch shape — host
     round trips amortize over the window exactly like the single-scan
-    train.step.build_train_window).
+    train.step.build_train_window). The window length is carried by the
+    stacked inputs' leading axis (jit retraces per length).
 
     Schedules are PER-SCAN ([W, S] per entry): scans run independent
     beta/variance trainability state machines, exactly like S independent
@@ -167,7 +182,7 @@ class MultiScanRunner:
         self.scenes = stack_scenes(self.datasets)
         self.pairs = jnp.stack([d.ref_src_pairs for d in self.datasets])
         self.mesh = mesh if mesh is not None else make_mesh(
-            min(len(jax.devices()), S)
+            best_mesh_size(S, len(jax.devices()))
         )
         self.renderer = UDFRenderer(cfg.model)
 
@@ -191,6 +206,7 @@ class MultiScanRunner:
                        for i, r in enumerate(self._perm_rngs)]
 
         self._window_fns = {}
+        self._step_fns = {}
         self._shadow_runners: Dict[int, "object"] = {}
         self.writer = None
 
@@ -206,7 +222,7 @@ class MultiScanRunner:
         os.makedirs(os.path.join(d, "checkpoints"), exist_ok=True)
         return d
 
-    def save_checkpoints(self):
+    def save_checkpoints(self, prefix: str = "ckpt"):
         import os
         import pickle
 
@@ -224,7 +240,7 @@ class MultiScanRunner:
                 "rng": np.asarray(self.rngs[i]),
             }
             path = os.path.join(
-                self._scan_dir(i), "checkpoints", f"ckpt_{self.iter_step:0>6d}.ckpt"
+                self._scan_dir(i), "checkpoints", f"{prefix}_{self.iter_step:0>6d}.ckpt"
             )
             with open(path, "wb") as f:
                 pickle.dump(payload, f)
@@ -241,7 +257,10 @@ class MultiScanRunner:
             d = os.path.join(self.out_dir, self.cases[i], "checkpoints")
             names = set()
             if os.path.isdir(d):
-                names = {n for n in os.listdir(d) if n.endswith(".ckpt")}
+                # crash_* checkpoints (non-finite params, saved for autopsy
+                # by the NaN watchdog) are never resume candidates
+                names = {n for n in os.listdir(d)
+                         if n.startswith("ckpt_") and n.endswith(".ckpt")}
             per_scan.append(names)
         common = set.intersection(*per_scan) if per_scan else set()
         if not common:
@@ -298,14 +317,22 @@ class MultiScanRunner:
                 return k
         return 1
 
-    def _get_window_fn(self, blending: bool, window: int):
-        key = (blending, window)
-        if key not in self._window_fns:
-            self._window_fns[key] = build_multi_scan_window(
-                self.cfg, self.renderer, self.mesh,
-                blending=blending, window=window,
+    def _get_window_fn(self, blending: bool):
+        if blending not in self._window_fns:
+            self._window_fns[blending] = build_multi_scan_window(
+                self.cfg, self.renderer, self.mesh, blending=blending,
             )
-        return self._window_fns[key]
+        return self._window_fns[blending]
+
+    def _get_step_fn(self, blending: bool):
+        """No-scan vmapped step (per-scan schedules) — the blending fallback
+        dispatch when lax.scan windows are disabled (see train())."""
+        if blending not in self._step_fns:
+            self._step_fns[blending] = build_multi_scan_step(
+                self.cfg, self.renderer, self.mesh,
+                blending=blending, per_scan_sched=True,
+            )
+        return self._step_fns[blending]
 
     # -- training loop --------------------------------------------------------
 
@@ -322,6 +349,14 @@ class MultiScanRunner:
         tcfg = self.cfg.train
         window = self._window_size()
         t_start = time.time()
+        # Same constraint as the single-scan Runner: the blending step body
+        # hard-crashes the axon TPU worker inside a lax.scan window, so
+        # blending dispatches fall back to pipelined single steps unless
+        # scan windows are explicitly re-enabled (ADVICE r3).
+        blend_windows_ok = (
+            os.environ.get("NEURALUDF_BLEND_WINDOW") == "1"
+            or tcfg.blend_scan_window
+        )
 
         def next_img_indices(k: int) -> np.ndarray:
             out = np.empty((k, self.S), np.int32)
@@ -354,7 +389,6 @@ class MultiScanRunner:
                 or rows[-1][0]["color_pixel_weight"] > 0
                 or rows[-1][0]["color_patch_weight"] > 0
             )
-            window_fn = self._get_window_fn(blending_active, k)
 
             img_idxs = jnp.asarray(next_img_indices(k))
             new_rngs = jax.vmap(jax.random.split)(self.rngs)  # [S, 2, 2]
@@ -363,13 +397,32 @@ class MultiScanRunner:
             keys = jax.vmap(lambda b: jax.random.split(b, k))(base_keys)  # [S, k, 2]
             keys = jnp.swapaxes(keys, 0, 1)  # [k, S, 2]
 
-            with self.mesh:
-                self.params, self.opt_state, metrics = window_fn(
-                    self.params, self.opt_state, self.scenes, self.pairs,
-                    img_idxs, keys, scheds,
-                )
-            self.iter_step += k
-            mat = {key: np.asarray(v) for key, v in metrics.items()}  # one sync
+            if blending_active and not blend_windows_ok:
+                # pipelined single-step dispatches (JAX async dispatch), one
+                # stacked metric transfer per window — no lax.scan wrapper
+                step_fn = self._get_step_fn(True)
+                pending = []
+                with self.mesh:
+                    for j in range(k):
+                        srow = {key: v[j] for key, v in scheds.items()}
+                        self.params, self.opt_state, m = step_fn(
+                            self.params, self.opt_state, self.scenes,
+                            self.pairs, img_idxs[j], keys[j], srow,
+                        )
+                        pending.append(
+                            jnp.stack([m[n] for n in METRIC_KEYS], axis=-1))
+                self.iter_step += k
+                mrows = np.asarray(jnp.stack(pending))  # [k, S, M], one sync
+                mat = {n: mrows[..., i] for i, n in enumerate(METRIC_KEYS)}
+            else:
+                window_fn = self._get_window_fn(blending_active)
+                with self.mesh:
+                    self.params, self.opt_state, metrics = window_fn(
+                        self.params, self.opt_state, self.scenes, self.pairs,
+                        img_idxs, keys, scheds,
+                    )
+                self.iter_step += k
+                mat = {key: np.asarray(v) for key, v in metrics.items()}  # one sync
 
             for j in range(k):
                 it = self.iter_step - k + 1 + j
@@ -389,7 +442,9 @@ class MultiScanRunner:
 
     def _post_step_host(self, it: int, scan: int, m: Dict[str, float]):
         if not np.isfinite(m["loss"]):
-            self.save_checkpoints()
+            # the whole window (incl. the poisoned updates) is already
+            # applied — save for autopsy under crash_*, which _resume skips
+            self.save_checkpoints(prefix="crash")
             raise FloatingPointError(
                 f"non-finite loss at iter {it} scan {self.cases[scan]}: {m}"
             )

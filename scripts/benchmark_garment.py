@@ -1,0 +1,182 @@
+"""Full-protocol DF3D-style quality benchmark on the `garment` synthetic
+scene (VERDICT r4 item: the garment flagship recipe end-to-end at benchmark
+scale).
+
+This is the DeepFashion3D stand-in (no DF3D data ships in this container):
+a draped open skirt — zero-thickness sheet, openings at BOTH ends, seven
+irregular drape folds — rendered at 49 views, 1600x1200, fov~60, black
+background. Trained with the reference's SHIPPED garment recipe
+(confs/udf_garment_blending.conf == ref udf_garment_blending.conf):
+
+    mix upsampling (n_importance 80, up_sample_steps 5), n_outside = 0
+    (no background NeRF, no mask loss), igr 0.001 + igr_ns 0.01,
+    sparse_weight 0.001 on the reference's half-schedule gate
+    (--reg_weights_schedule), variance init 0.3;
+
+optionally followed by the garment ft stage (ref udf_garment_blending_ft
+.conf: lr 5e-5, same_lr, pixel/patch weights stay 0 — the shipped garment
+ft is low-LR refinement, NOT patch blending), and scored with the DF3D
+protocol (ref evaluation/eval_deepfashion_python.py: 0.002 downsample,
+max_dist 0.1, P/R/F at 0.001/0.002 in normalized units; no ObsMask, no
+plane, no mesh cleaning).
+
+Reference context (BASELINE.md): paper DF3D Chamfer x10^-3 mean 1.97,
+best garment-class scan (Skirt0) 1.33.
+
+Usage: python scripts/benchmark_garment.py --tag garment_50k --iters 50000
+Writes exp/benchmark_garment/<tag>/ + one JSON line to
+exp/benchmark_garment/results.jsonl.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--iters", type=int, default=50_000)
+    ap.add_argument("--ft_iters", type=int, default=0,
+                    help="garment ft stage (ref udf_garment_blending_ft.conf: "
+                         "lr 5e-5 both groups, same_lr, anneal done)")
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--batch_size", type=int, default=512)
+    ap.add_argument("--fused", default="auto")
+    ap.add_argument("--precision", default="default")
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--init_ckpt", default=None)
+    args = ap.parse_args()
+
+    os.environ["NEURALUDF_FUSED_CORE"] = args.fused
+    os.environ["NEURALUDF_FUSED_PRECISION"] = args.precision
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+
+    from neuraludf_tpu.utils import setup_jax
+
+    setup_jax()
+    import numpy as np
+
+    from neuraludf_tpu import config as config_mod
+    from neuraludf_tpu.data.synthetic import generate_scene, gt_surface_points
+    from neuraludf_tpu.eval.chamfer import eval_mesh
+    from neuraludf_tpu.mesh.ply import load_ply
+    from neuraludf_tpu.train.runner import Runner
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene_dir = os.path.join(root, "data", "synthetic", "garment")
+    if not os.path.exists(os.path.join(scene_dir, "cameras.npz")):
+        print("generating 49-view 1600x1200 garment scene (one-time) ...")
+        # fov60 like the DF3D renderings: focal = W / (2 tan 30deg)
+        generate_scene(scene_dir, kind="garment", n_views=49, H=1200, W=1600,
+                       focal=1385.6)
+
+    exp_dir = os.path.join(root, "exp", "benchmark_garment", args.tag)
+    # the full shipped garment recipe (reference-equal conf)
+    cfg = config_mod.load(os.path.join(root, "confs", "udf_garment_blending.conf"),
+                          case="garment")
+    cfg = dataclasses.replace(
+        cfg,
+        general=dataclasses.replace(cfg.general, base_exp_dir=exp_dir),
+        dataset=dataclasses.replace(
+            cfg.dataset, data_dir=scene_dir,
+            render_cameras_name="cameras.npz", object_cameras_name="cameras.npz",
+        ),
+        train=dataclasses.replace(
+            cfg.train, end_iter=args.iters, batch_size=args.batch_size,
+            save_freq=25_000, val_freq=10**9, val_mesh_freq=10**9,
+            report_freq=1000,
+        ),
+    )
+    runner = Runner(cfg, seed=0, reg_weights_schedule=True)
+
+    train_s = 0.0
+    if args.skip_train:
+        stage1_ck = args.init_ckpt or runner._latest_checkpoint()
+        assert stage1_ck, f"--skip_train but no checkpoint under {exp_dir}"
+        runner.load_checkpoint(stage1_ck)
+    else:
+        t0 = time.time()
+        runner.train()
+        train_s = time.time() - t0
+        runner.save_checkpoint()
+        stage1_ck = runner._latest_checkpoint()
+
+    if args.ft_iters:
+        # ref udf_garment_blending_ft.conf:23-27: lr 5e-5 both, same_lr,
+        # 50k; color/reg weights unchanged (pixel/patch stay 0)
+        ft_cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, end_iter=args.ft_iters,
+                learning_rate=5e-5, learning_rate_geo=5e-5, same_lr=True,
+                warm_up_end=min(5000, args.ft_iters // 10),
+                anneal_end=min(25_000, args.ft_iters // 2),
+            ),
+        )
+        ft_runner = Runner(ft_cfg, seed=0, is_finetune=True,
+                           reg_weights_schedule=True)
+        ft_runner.load_checkpoint(stage1_ck)
+        t0 = time.time()
+        ft_runner.train()
+        train_s += time.time() - t0
+        ft_runner.save_checkpoint()
+        runner = ft_runner
+
+    val_s = time.time()
+    for idx in (0, 24):
+        try:
+            runner.validate(idx=idx, resolution_level=2)
+        except Exception as e:  # renders are evidence only
+            print("validate failed:", e)
+    val_s = time.time() - val_s
+
+    t0 = time.time()
+    raw_ply = runner.extract_udf_mesh(world_space=False,
+                                      resolution=args.resolution,
+                                      dist_threshold_ratio=5.0)
+    extract_s = time.time() - t0
+
+    # ---- DF3D-protocol scoring (normalized units, no cleaning) ------------
+    gt = gt_surface_points("garment", n=400_000).astype(np.float64)
+    r = eval_mesh(raw_ply, gt, downsample_density=0.002, max_dist=0.1,
+                  thresh1=0.001, thresh2=0.002,
+                  vis_out_dir=os.path.join(exp_dir, "eval_vis"), scan=0)
+
+    verts, _ = load_ply(raw_ply)
+    row = {
+        "tag": args.tag,
+        "iters": args.iters,
+        "ft_iters": args.ft_iters,
+        "batch_size": args.batch_size,
+        "resolution": args.resolution,
+        "chamfer_e-3": round(r.chamfer * 1e3, 4),
+        "mean_d2gt_e-3": round(r.mean_d2s * 1e3, 4),
+        "mean_gt2d_e-3": round(r.mean_s2d * 1e3, 4),
+        "fscore_1mm": round(r.fscore_1, 4),
+        "precision_1mm": round(r.precision_1, 4),
+        "recall_1mm": round(r.recall_1, 4),
+        "fscore_2mm": round(r.fscore_2, 4),
+        "n_verts": int(len(verts)),
+        "train_s": round(train_s, 1),
+        "it_per_s": round((args.iters + args.ft_iters) / train_s, 1) if train_s else None,
+        "extract_s": round(extract_s, 1),
+        "val_s": round(val_s, 1),
+    }
+    out = os.path.join(root, "exp", "benchmark_garment")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "results.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,56 @@ def test_multi_scan_runner_train_ckpt_resume_mesh(scan_dirs, tmp_path):
         assert len(v) > 0
 
 
+def test_best_mesh_size():
+    from neuraludf_tpu.parallel.multi_scan import best_mesh_size
+
+    assert best_mesh_size(8, 8) == 8
+    assert best_mesh_size(6, 4) == 3  # ADVICE r3: 6 scans on 4 chips
+    assert best_mesh_size(7, 4) == 1  # prime scan count
+    assert best_mesh_size(4, 8) == 4  # fewer scans than chips
+    assert best_mesh_size(12, 8) == 6
+
+
+def test_multi_scan_blending_fallback_matches_scan_window(scan_dirs, tmp_path):
+    """Blending multi-scan training must produce identical params whether
+    dispatched as pipelined single steps (the TPU-safe default, ADVICE r3)
+    or as a lax.scan window (blend_scan_window=True)."""
+    from neuraludf_tpu.config import ColorLossConfig
+    from neuraludf_tpu.parallel.multi_scan import MultiScanRunner
+    from neuraludf_tpu.parallel.sharding import make_mesh
+
+    def run(blend_scan_window, out):
+        cfg = _tiny_cfg(4, tmp_path, blend_scan_window=blend_scan_window)
+        cfg = dataclasses.replace(
+            cfg,
+            color_loss=ColorLossConfig(
+                color_base_weight=0.01, color_weight=1.0,
+                color_pixel_weight=0.1, color_patch_weight=0.1,
+                h_patch_size=2,
+            ),
+            model=dataclasses.replace(
+                cfg.model,
+                udf_renderer=dataclasses.replace(
+                    cfg.model.udf_renderer, h_patch_size=2
+                ),
+            ),
+        )
+        r = MultiScanRunner(
+            cfg, scan_dirs, case_names=["scan0", "scan1"], mesh=make_mesh(2),
+            out_dir=str(tmp_path / out), seed=0, is_finetune=True,
+        )
+        r.train()
+        assert r.iter_step == 4
+        return r.params
+
+    p_pipe = run(False, "ms_pipe")
+    p_scan = run(True, "ms_scan")
+    for a, b in zip(jax.tree_util.tree_leaves(p_pipe),
+                    jax.tree_util.tree_leaves(p_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_multi_scan_runner_matches_single_runs(scan_dirs, tmp_path):
     """Two scans trained by the multi-scan runner == the same two scans
     trained by independent single-scan Runners (same seeds, same iters)."""

@@ -48,6 +48,59 @@ def test_lobed_hole_rays_hit_inner_wall():
     assert abs(S._lobed_f(pts[:1])[0]) < 1e-5
 
 
+def test_garment_gt_points_on_surface():
+    p = S.gt_surface_points("garment", n=20_000)
+    assert np.abs(S._garment_f(p)).max() < 1e-5
+    assert p[:, 1].min() >= S.GARMENT_Y_BOT - 1e-6
+    assert p[:, 1].max() <= S.GARMENT_Y_TOP + 1e-6
+    # both openings are populated and folds span the designed radii
+    assert (p[:, 1] > S.GARMENT_Y_TOP - 0.05).mean() > 0.02
+    assert (p[:, 1] < S.GARMENT_Y_BOT + 0.05).mean() > 0.02
+    r = np.hypot(p[:, 0], p[:, 2])
+    assert 0.14 < r.min() and r.max() < 0.48
+
+
+def test_garment_tracer_agrees_with_implicit():
+    rng = np.random.RandomState(1)
+    o = rng.normal(size=(512, 3)).astype(np.float32)
+    o /= np.linalg.norm(o, axis=-1, keepdims=True)
+    o *= 2.2
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    hit, pts, normals = S._trace_garment(o, d)
+    assert hit.mean() > 0.6  # rays along the axis exit through the openings
+    assert np.abs(S._garment_f(pts[hit])).max() < 1e-5
+    assert S._garment_cut(pts[hit]).all()
+    assert np.allclose(np.linalg.norm(normals[hit], axis=-1), 1.0, atol=1e-4)
+
+
+def test_garment_axis_ray_passes_through_both_openings():
+    # straight down the axis: through the waist AND hem openings — no hit
+    o = np.array([[0.0, 2.2, 0.0]], np.float32)
+    d = np.array([[0.0, -1.0, 0.0]], np.float32)
+    hit, _, _ = S._trace_garment(o, d)
+    assert not bool(hit[0])
+    # an oblique ray entering the waist hits the INNER wall
+    o2 = np.array([[0.05, 2.2, 0.0]], np.float32)
+    d2 = np.array([[0.12, -1.0, 0.02]], np.float32)
+    d2 /= np.linalg.norm(d2)
+    hit2, pts2, _ = S._trace_garment(o2, d2)
+    assert bool(hit2[0])
+    assert abs(S._garment_f(pts2[:1])[0]) < 1e-5
+
+
+def test_garment_scene_renders_black_background(tmp_path):
+    import cv2 as cv
+
+    d = str(tmp_path / "g")
+    S.generate_scene(d, kind="garment", n_views=3, H=40, W=48, focal=70.0)
+    img = cv.imread(os.path.join(d, "image", "000.png"))
+    msk = cv.imread(os.path.join(d, "mask", "000.png"))
+    assert (msk > 127).any() and not (msk > 127).all()
+    # every masked-out pixel is black (n_outside=0 recipe consistency)
+    assert img[msk[..., 0] <= 127].max() <= 1
+    assert img[msk[..., 0] > 127].mean() > 10
+
+
 def test_env_background_is_multiview_consistent():
     # two cameras looking at the SAME env-sphere point see the same color
     p_env = np.array([2.8, 1.2, -2.0], np.float32)
