@@ -54,8 +54,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SW = 256  # strip width (pixels); covers clusters up to 128 px wide
-DEFAULT_SH = 64  # strip height; covers clusters up to 48 px tall (y0 slack 16)
+SW = 256  # strip width (px); centered origins cover clusters ≤126 px wide
+DEFAULT_SH = 64  # strip height; centered origins cover clusters ≤46 px tall
 DEFAULT_WB = 8  # strips per grid step (DMA double-buffered)
 
 

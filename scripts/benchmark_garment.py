@@ -51,7 +51,16 @@ def main():
     ap.add_argument("--precision", default="default")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--init_ckpt", default=None)
+    ap.add_argument("--views", type=int, default=49)
+    ap.add_argument("--H", type=int, default=1200)
+    ap.add_argument("--W", type=int, default=1600)
+    ap.add_argument("--scene", default=None,
+                    help="override scene dir (default data/synthetic/garment)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     os.environ["NEURALUDF_FUSED_CORE"] = args.fused
     os.environ["NEURALUDF_FUSED_PRECISION"] = args.precision
@@ -63,6 +72,10 @@ def main():
     from neuraludf_tpu.utils import setup_jax
 
     setup_jax()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from neuraludf_tpu import config as config_mod
@@ -72,12 +85,12 @@ def main():
     from neuraludf_tpu.train.runner import Runner
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scene_dir = os.path.join(root, "data", "synthetic", "garment")
+    scene_dir = args.scene or os.path.join(root, "data", "synthetic", "garment")
     if not os.path.exists(os.path.join(scene_dir, "cameras.npz")):
-        print("generating 49-view 1600x1200 garment scene (one-time) ...")
+        print(f"generating {args.views}-view {args.W}x{args.H} garment scene ...")
         # fov60 like the DF3D renderings: focal = W / (2 tan 30deg)
-        generate_scene(scene_dir, kind="garment", n_views=49, H=1200, W=1600,
-                       focal=1385.6)
+        generate_scene(scene_dir, kind="garment", n_views=args.views,
+                       H=args.H, W=args.W, focal=args.W / 1.1547)
 
     exp_dir = os.path.join(root, "exp", "benchmark_garment", args.tag)
     # the full shipped garment recipe (reference-equal conf)

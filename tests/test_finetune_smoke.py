@@ -15,6 +15,9 @@ from neuraludf_tpu.train.runner import Runner
 from test_train_smoke import tiny_config
 
 
+pytestmark = pytest.mark.slow  # full-suite acceptance lane
+
+
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("scene_ft") / "sphere"

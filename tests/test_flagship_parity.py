@@ -34,6 +34,9 @@ from test_renderer_parity import KEYS, make_rays
 ref_fields, ref_renderer_mod, _ = import_reference()
 
 
+pytestmark = pytest.mark.slow  # full-suite acceptance lane
+
+
 def build_flagship_pair(upsampling_type, n_importance, n_outside, use_norm_grad):
     torch.manual_seed(7)
     t_udf = ref_fields.UDFNetwork(

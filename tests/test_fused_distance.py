@@ -26,6 +26,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,cfg,n", CASES, ids=[c[0] for c in CASES])
 def test_fused_matches_plain(name, cfg, n):
     params = fields.init_distance_field(jax.random.PRNGKey(0), cfg)

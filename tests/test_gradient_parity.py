@@ -3,6 +3,7 @@ reference renderer vs JAX AD on ours — the composition test that single
 forward-pass parity can't cover (including the eikonal double backprop)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -10,6 +11,9 @@ import jax.numpy as jnp
 
 from reference_torch import to_np
 from test_renderer_parity import build_pair, make_rays
+
+
+pytestmark = pytest.mark.slow  # full-suite acceptance lane
 
 
 def loss_from_render(ret, true_rgb, *, torch_mode):

@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 
 
+pytestmark = pytest.mark.slow  # full-suite acceptance lane
+
+
 def _tiny_cfg(end_iter, tmp_path, **train_kw):
     from neuraludf_tpu.utils.testing import tiny_config
 

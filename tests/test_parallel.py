@@ -17,6 +17,7 @@ def test_graft_entry_single():
     assert np.isfinite(np.asarray(color)).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 

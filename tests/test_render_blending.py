@@ -2,6 +2,7 @@
 render_core) — the finetune-stage path."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -12,6 +13,9 @@ from neuraludf_tpu.render.renderer import RenderOptions
 from reference_torch import to_np
 from test_projector_losses import make_cameras
 from test_renderer_parity import build_pair, make_rays
+
+
+pytestmark = pytest.mark.slow  # full-suite acceptance lane
 
 
 def test_render_blending_parity():

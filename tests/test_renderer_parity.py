@@ -113,6 +113,7 @@ KEYS = [
         ("classical", 0, "theorical", False),
     ],
 )
+@pytest.mark.slow
 def test_render_parity(upsampling_type, n_outside, sdf2alpha_type, use_norm_grad):
     t_rend, j_rend, params = build_pair(upsampling_type, n_outside, sdf2alpha_type, use_norm_grad)
     rays_o, rays_d, near, far = make_rays()
@@ -140,6 +141,7 @@ def test_render_parity(upsampling_type, n_outside, sdf2alpha_type, use_norm_grad
         np.testing.assert_allclose(our_v, ref_v, rtol=4e-3, atol=3e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_render_gradients_flow():
     """Nested AD: gradient of (color + eikonal) loss w.r.t. params is finite."""
     _, j_rend, params = build_pair()

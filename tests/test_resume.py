@@ -13,6 +13,9 @@ from neuraludf_tpu.train.runner import Runner
 from test_train_smoke import tiny_config
 
 
+pytestmark = pytest.mark.slow  # full-suite acceptance lane
+
+
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):
     from neuraludf_tpu.data.synthetic import generate_scene

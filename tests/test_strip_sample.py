@@ -37,6 +37,7 @@ def _clustered_positions(key, v=2, nw=6, p=128):
     return cx + ox, cy + oy
 
 
+@pytest.mark.slow
 def test_strip_sample_matches_gather_oracle():
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (2, 3, H, W), jnp.float32)
@@ -157,6 +158,7 @@ def test_render_strip_matches_gather_path(n_outside):
         )
 
 
+@pytest.mark.slow
 def test_render_strip_gradients_match_gather_path():
     """Gradients (through blending logits + compositing weights) must agree
     between samplers — sampling is forward-only in both."""
@@ -206,6 +208,7 @@ def test_render_strip_gradients_match_gather_path():
     assert num / norm_g < 0.05, num / norm_g
 
 
+@pytest.mark.slow
 def test_render_strip_topk_truncation_close():
     """With a small top-k the composite should still be close to the dense
     path: the dropped samples carry little transmittance weight."""

@@ -97,6 +97,7 @@ def test_ray_pixel_consistency(scene_dir):
     np.testing.assert_allclose(uv, [x, y], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_smoke_train_and_mesh(scene_dir, tmp_path):
     from neuraludf_tpu.train.runner import Runner
 
