@@ -161,6 +161,11 @@ class RendererConfig:
     blend_top_k: int = 32  # samples warped per ray under the strip sampler
     blend_chunk: int = 8  # consecutive samples sharing one strip DMA
     strip_height: int = 64  # strip rows (covers taller warp clusters)
+    # rematerialization: recompute MLP activations in backward instead of
+    # spilling them to HBM (profiler: copy-start ≈38% of the r2 step moving
+    # [BN,256] activations). '+'-joined tags: 'color' (residual color net),
+    # 'bg' (background NeRF). Env NEURALUDF_REMAT overrides.
+    remat: str = "none"  # 'none' | 'color' | 'bg' | 'color+bg'
 
 
 @dataclass(frozen=True)

@@ -62,6 +62,24 @@ class UDFRenderer:
 
         self.projector = PatchProjector(self.rcfg.h_patch_size)
 
+        # optional remat of the MLP applies: trade recompute FLOPs for the
+        # [BN,256] activation spills the profiler shows dominating HBM
+        # traffic (see config.UDFRendererConfig.remat)
+        import os
+
+        tags = set(
+            os.environ.get("NEURALUDF_REMAT", self.rcfg.remat).split("+")
+        ) - {"", "none"}
+        assert tags <= {"color", "bg"}, tags
+        self._color_apply = (
+            jax.checkpoint(fields.residual_color_apply, static_argnums=(5,))
+            if "color" in tags else fields.residual_color_apply
+        )
+        self._bg_apply = (
+            jax.checkpoint(fields.background_nerf_apply, static_argnums=(3,))
+            if "bg" in tags else fields.background_nerf_apply
+        )
+
     # -- helpers ------------------------------------------------------------
 
     def udf_fn(self, params: Params):
@@ -220,7 +238,7 @@ class UDFRenderer:
             dist_to_center = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
             pts = jnp.concatenate([pts / dist_to_center, 1.0 / dist_to_center], axis=-1)
         dirs = jnp.broadcast_to(rays_d[:, None, :], (batch, n, 3))
-        raw, sampled_color = fields.background_nerf_apply(
+        raw, sampled_color = self._bg_apply(
             params["nerf"], pts.reshape(batch * n, -1), dirs.reshape(batch * n, 3), self.cfg.nerf
         )
         alpha = 1.0 - jnp.exp(-jax.nn.relu(raw.reshape(batch, n)) * dists)
@@ -308,7 +326,7 @@ class UDFRenderer:
 
         udf_2d = udf.reshape(batch, n)
 
-        color_base, color_s, blending_logits = fields.residual_color_apply(
+        color_base, color_s, blending_logits = self._color_apply(
             params["color"], pts, grad_norm, dirs, feature, self.cfg.rendering_network
         )
         sampled_color_base = color_base.reshape(batch, n, 3)

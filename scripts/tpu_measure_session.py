@@ -59,6 +59,29 @@ with jax.profiler.trace("/tmp/trace_s1", create_perfetto_link=False):
     _ = np.asarray(m["loss"])
 log("stage1 TRACE_DONE -> /tmp/trace_s1")
 
+# ---- 2b. stage-1 remat A/B (HBM activation spills vs recompute) ----------
+for remat in ("color", "bg", "color+bg"):
+    c = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, udf_renderer=dataclasses.replace(
+            cfg.model.udf_renderer, remat=remat)))
+    st = build_train_step(c, UDFRenderer(c.model), blending=False)
+    p = init_params(jax.random.PRNGKey(0), c)
+    o = init_adam_state(p)
+    k = jax.random.PRNGKey(1)
+    p, o, mm = st(p, o, ds.scene, ds.ref_src_pairs, jnp.asarray(0), k, sched)
+    _ = np.asarray(mm["loss"])
+    for i in range(10):
+        k = jax.random.fold_in(k, i)
+        p, o, mm = st(p, o, ds.scene, ds.ref_src_pairs, jnp.asarray(0), k, sched)
+    _ = np.asarray(mm["loss"])
+    t0 = time.time()
+    for i in range(30):
+        k = jax.random.fold_in(k, 100 + i)
+        p, o, mm = st(p, o, ds.scene, ds.ref_src_pairs, jnp.asarray(0), k, sched)
+    _ = np.asarray(mm["loss"])
+    log(f"stage1 remat={remat}: {1000*(time.time()-t0)/30:.2f} ms/step, "
+        f"loss={float(np.asarray(mm['loss'])):.4f}")
+
 # ---- 3. ft (blending) step: default + geometry sweep ---------------------
 ftcfg = config_mod.load("confs/synthetic_smoke.conf", case="lobed")
 ftcfg = dataclasses.replace(
