@@ -82,6 +82,35 @@ for remat in ("color", "bg", "color+bg"):
     log(f"stage1 remat={remat}: {1000*(time.time()-t0)/30:.2f} ms/step, "
         f"loss={float(np.asarray(mm['loss'])):.4f}")
 
+# ---- 2c. fused-kernel block-size sweep (fwd_block, bwd_block) ------------
+from neuraludf_tpu.ops.fused_distance import (
+    distance_value_feat_grad_fused, effective_weights,
+)
+
+ucfg = cfg.model.udf_network
+fparams = init_params(jax.random.PRNGKey(0), cfg)["udf"]
+xpts = jax.random.uniform(jax.random.PRNGKey(7), (58368, 3), jnp.float32,
+                          minval=-0.6, maxval=0.6)
+
+def loss_of(fwd_b, bwd_b):
+    def f(p, x):
+        u, ft, gr = distance_value_feat_grad_fused(
+            p, x, ucfg, fwd_block=fwd_b, bwd_block=bwd_b)
+        return jnp.sum(u) + jnp.sum(ft * 1e-3) + jnp.sum(gr ** 2)
+    return jax.jit(jax.grad(f))
+
+for fb, bb in ((256, 128), (512, 128), (512, 256), (1024, 256), (256, 256)):
+    try:
+        g = loss_of(fb, bb)
+        _ = np.asarray(jax.tree_util.tree_leaves(g(fparams, xpts))[0])
+        t0 = time.time()
+        for _ in range(10):
+            out = g(fparams, xpts)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        log(f"fused blocks fwd={fb} bwd={bb}: {1000*(time.time()-t0)/10:.2f} ms/fwd+bwd")
+    except Exception as e:
+        log(f"fused blocks fwd={fb} bwd={bb}: FAIL {type(e).__name__}: {str(e)[:120]}")
+
 # ---- 3. ft (blending) step: default + geometry sweep ---------------------
 ftcfg = config_mod.load("confs/synthetic_smoke.conf", case="lobed")
 ftcfg = dataclasses.replace(
