@@ -150,6 +150,14 @@ def main():
             runner.validate(idx=idx, resolution_level=2)
         except Exception as e:  # renders are evidence only
             print("validate failed:", e)
+    # vis_ray probes (part of the garment launcher recipe: bash_garment_
+    # blending.sh --vis_ray): ray statistics across the center column
+    try:
+        H, W = runner.dataset.H, runner.dataset.W
+        for dy in (-H // 4, 0, H // 4):
+            runner.visualize_one_ray(0, W // 2, H // 2 + dy)
+    except Exception as e:
+        print("vis_ray failed:", e)
     val_s = time.time() - val_s
 
     t0 = time.time()
