@@ -112,6 +112,11 @@ for fb, bb in ((256, 128), (512, 128), (512, 256), (1024, 256), (256, 256)):
         log(f"fused blocks fwd={fb} bwd={bb}: FAIL {type(e).__name__}: {str(e)[:120]}")
 
 # ---- 3. ft (blending) step: default + geometry sweep ---------------------
+# The lobed scene may still be generating in a parallel CPU process
+# (cameras.npz is written last, so it doubles as the completion marker).
+while not os.path.exists("data/synthetic/lobed/cameras.npz"):
+    log("waiting for data/synthetic/lobed generation ...")
+    time.sleep(30)
 ftcfg = config_mod.load("confs/synthetic_smoke.conf", case="lobed")
 ftcfg = dataclasses.replace(
     ftcfg,
