@@ -60,7 +60,7 @@ DEFAULT_WB = 8  # strips per grid step (DMA double-buffered)
 
 
 def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
-    def kernel(y0_ref, x0_ref, rx_ref, ry_ref, img_ref, out_ref, slab, sem):
+    def kernel(yx0_ref, rx_ref, ry_ref, img_ref, out_ref, slab, sem):
         v = pl.program_id(0)
         w = pl.program_id(1)
 
@@ -68,8 +68,14 @@ def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
 
         def dma(slot, j):
             b = w * wb + j
-            y0 = pl.multiple_of(y0_ref[v, b], 16)
-            x0 = pl.multiple_of(x0_ref[v, b], 128)
+            # origins are packed (y0 << 16) | x0 into ONE scalar-prefetch
+            # operand: two s32[V, NW] operands at validation scale
+            # (NW = 16384) were 512 KB EACH and together blew the 1 MB
+            # SMEM budget (round-3 "compile helper crash", root-caused
+            # round 4: "Ran out of memory in memory space smem")
+            packed = yx0_ref[v, b]
+            y0 = pl.multiple_of(packed >> 16, 16)
+            x0 = pl.multiple_of(packed & 0xFFFF, 128)
             return pltpu.make_async_copy(
                 img_ref.at[v, pl.ds(0, nc), pl.ds(y0, sh), pl.ds(x0, SW)],
                 slab.at[slot],
@@ -119,11 +125,11 @@ def _build_call(v: int, nw: int, p: int, h: int, w_img: int,
     kernel = _make_kernel(sh, wb, p, fused_dot)
     blk = lambda *shape: pl.BlockSpec(
         shape,
-        lambda vi, wi, y0, x0: (vi, wi) + (0,) * (len(shape) - 2),
+        lambda vi, wi, yx0: (vi, wi) + (0,) * (len(shape) - 2),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             blk(1, wb, p),  # rx
@@ -234,8 +240,24 @@ def strip_sample(
         y0 = jnp.pad(y0, [(0, 0), (0, nw_pad - nw)])
         x0 = jnp.pad(x0, [(0, 0), (0, nw_pad - nw)])
 
-    fn = _build_call(v, nw_pad, p_pad, h, w_img, sh, wb, fused_dot, interpret)
-    flat = fn(y0, x0, rx, ry, images4)  # [V, NWpad, 3*Ppad]
+    assert h < 65536 and w_img < 65536, (h, w_img)  # origins pack into 16 bits
+    yx0 = (y0.astype(jnp.int32) << 16) | x0.astype(jnp.int32)
+
+    # SMEM guard: the packed-origin scalar-prefetch operand must stay within
+    # half the chip's 1 MB SMEM; larger NW (full-frame validation renders
+    # reach NW = 16384/view and beyond at resolution_level 1) is processed
+    # in segments of whole wb-groups.
+    max_nw = max(wb, ((512 * 1024 // 4) // max(v, 1)) // wb * wb)
+    if nw_pad <= max_nw:
+        fn = _build_call(v, nw_pad, p_pad, h, w_img, sh, wb, fused_dot, interpret)
+        flat = fn(yx0, rx, ry, images4)  # [V, NWpad, 3*Ppad]
+    else:
+        parts = []
+        for s in range(0, nw_pad, max_nw):
+            e = min(s + max_nw, nw_pad)
+            fn = _build_call(v, e - s, p_pad, h, w_img, sh, wb, fused_dot, interpret)
+            parts.append(fn(yx0[:, s:e], rx[:, s:e], ry[:, s:e], images4))
+        flat = jnp.concatenate(parts, axis=1)
     colors = flat.reshape(v, nw_pad, 3, p_pad)[:, :nw, :, :p]
     return colors, in_strip
 
