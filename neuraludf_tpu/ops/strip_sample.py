@@ -56,7 +56,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 SW = 256  # strip width (px); centered origins cover clusters ≤126 px wide
 DEFAULT_SH = 64  # strip height; centered origins cover clusters ≤46 px tall
-DEFAULT_WB = 8  # strips per grid step (DMA double-buffered)
+# wb=16 + fused_dot=True are the round-4 on-chip winners at the production
+# ft shape (36.8 vs 38.8 ms for wb=8 three-dot): deeper DMA pipelining and
+# one channel-flattened [3*SH, SW] MXU dot that also skips the pad
+# channel's DMA. Both paths stay oracle-tested (tests/test_strip_sample.py).
+DEFAULT_WB = 16  # strips per grid step (DMA double-buffered)
+DEFAULT_FUSED_DOT = True
 
 
 def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
@@ -82,6 +87,10 @@ def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
                 sem.at[slot],
             )
 
+        # loop-invariant pixel-index planes, built once per grid step
+        xi = jax.lax.broadcasted_iota(jnp.int32, (SW, p), 0).astype(jnp.float32)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (sh, p), 0).astype(jnp.float32)
+
         dma(0, 0).start()
         for j in range(wb):
             if j + 1 < wb:
@@ -94,8 +103,6 @@ def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
             # build — Mosaic does not pack bf16 VPU ops)
             rx = rx_ref[0, j, :].reshape(1, p)  # [1, P] in-strip coords
             ry = ry_ref[0, j, :].reshape(1, p)
-            xi = jax.lax.broadcasted_iota(jnp.int32, (SW, p), 0).astype(jnp.float32)
-            yi = jax.lax.broadcasted_iota(jnp.int32, (sh, p), 0).astype(jnp.float32)
             hat_c = jax.nn.relu(1.0 - jnp.abs(xi - rx)).astype(jnp.bfloat16)
             hat_r = jax.nn.relu(1.0 - jnp.abs(yi - ry))  # f32
 
@@ -197,7 +204,7 @@ def strip_sample(
     *,
     sh: int = DEFAULT_SH,
     wb: int = DEFAULT_WB,
-    fused_dot: bool = False,
+    fused_dot: bool = DEFAULT_FUSED_DOT,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinearly sample per-view images at strip-clustered positions.

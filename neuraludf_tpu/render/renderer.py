@@ -45,10 +45,12 @@ class RenderOptions:
     pixel_blending: bool = False
     patch_blending: bool = False
     compute_random_sparse: bool = True
-    # Full-frame validation renders force the XLA gather warp path: the
-    # strip kernel inside the chunked lax.scan validation program crashes
-    # the axon compile helper at 1200x1664 image operands, and validation
-    # is dispatch-bound anyway (occasional, huge chunks).
+    # Escape hatch to the XLA gather warp path (config: warp_sampler=
+    # 'gather' does it globally). Round 3 forced this for full-frame
+    # validation renders after an apparent compile-helper crash; round 4
+    # root-caused that to SMEM exhaustion from the strip kernel's origin
+    # operands at validation NW (fixed in ops/strip_sample.py by packing
+    # the origins + segmenting), so validation now uses the strip path.
     force_gather_warp: bool = False
 
 

@@ -442,7 +442,6 @@ class Runner:
             perturb=self.cfg.model.udf_renderer.perturb > 0,
             compute_random_sparse=False,
             pixel_blending=pixel_blending,
-            force_gather_warp=True,
         )
 
         @jax.jit
@@ -572,7 +571,7 @@ class Runner:
         if only_color:
             out = os.path.join(self.base_exp_dir, "novel_view")
             os.makedirs(out, exist_ok=True)
-            cv.imwrite(os.path.join(out, f"pred_{idx}.png"), img_fine)
+            cv.imwrite(os.path.join(out, f"pred_{idx}.png"), img_fine.astype(np.uint8))
             cv.imwrite(
                 os.path.join(out, f"gt_{idx}.png"),
                 self.dataset.image_at(idx, resolution_level),
@@ -586,11 +585,11 @@ class Runner:
             rgbs.append(img_pixel)
         cv.imwrite(
             os.path.join(self.base_exp_dir, "validations_fine", f"{self.iter_step:0>8d}_{idx}.png"),
-            np.concatenate(rgbs + [gt]),
+            np.concatenate(rgbs + [gt]).astype(np.uint8),
         )
         cv.imwrite(
             os.path.join(self.base_exp_dir, "normals", f"{self.iter_step:0>8d}_{idx}.png"),
-            normal_img[:, :, ::-1],
+            normal_img[:, :, ::-1].astype(np.uint8),
         )
         depth_vis = colorize_depth(pred_depth)
         cv.imwrite(
