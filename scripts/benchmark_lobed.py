@@ -48,6 +48,10 @@ def main():
     # zero-membranes across the opening — measured on the capsule scene:
     # a diaphragm at y=0.16 under the y=0.2 rim without it
     ap.add_argument("--sparse_weight", type=float, default=0.001)
+    ap.add_argument("--blend_top_k", type=int, default=0,
+                    help="override udf_renderer.blend_top_k for the ft stage "
+                         "(0 = keep config; speed/quality A/B: fewer warped "
+                         "samples per ray -> proportionally fewer strip DMAs)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the newest checkpoint under the tag dir")
     ap.add_argument("--init_ckpt", default=None,
@@ -139,7 +143,9 @@ def main():
             model=dataclasses.replace(
                 cfg.model,
                 udf_renderer=dataclasses.replace(
-                    cfg.model.udf_renderer, h_patch_size=5),
+                    cfg.model.udf_renderer, h_patch_size=5,
+                    **({"blend_top_k": args.blend_top_k}
+                       if args.blend_top_k else {})),
             ),
         )
         ft_runner = Runner(ft_cfg, seed=0, is_finetune=True,
@@ -199,6 +205,7 @@ def main():
         "tag": args.tag,
         "iters": args.iters,
         "ft_iters": args.ft_iters,
+        "blend_top_k": args.blend_top_k or None,
         "batch_size": args.batch_size,
         "fused": args.fused,
         "precision": args.precision,

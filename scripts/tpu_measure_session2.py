@@ -83,4 +83,45 @@ with jax.profiler.trace("/tmp/trace_s1w", create_perfetto_link=False):
     params, opt, mrows = wstep(params, opt, ds.scene, ds.ref_src_pairs, idxs, jax.random.PRNGKey(9), sr)
     _ = np.asarray(mrows)
 log("windowed TRACE_DONE -> /tmp/trace_s1w")
+
+# ---- strip microbench, hoisted-iota + packed-origin kernel -----------------
+from neuraludf_tpu.ops.strip_sample import prepare_images, strip_sample
+V, NW, P = 8, 2048, 1024
+H, W = 1200, 1600
+kk = jax.random.PRNGKey(0)
+imgs4 = prepare_images(jax.random.uniform(kk, (V, 3, H, W), jnp.float32))
+kc, ko = jax.random.split(jax.random.fold_in(kk, 1))
+cx = jax.random.uniform(kc, (V, NW, 1), minval=0.0, maxval=W - 1.0)
+cy = jax.random.uniform(jax.random.fold_in(kc, 1), (V, NW, 1), minval=0.0, maxval=H - 1.0)
+gx = jnp.clip(cx + jax.random.uniform(ko, (V, NW, P), minval=-50.0, maxval=50.0), 0, W - 1.0)
+gy = jnp.clip(cy + jax.random.uniform(jax.random.fold_in(ko, 1), (V, NW, P), minval=-10.0, maxval=10.0), 0, H - 1.0)
+
+def timeit(fn, *args, n=5):
+    out = fn(*args); np.asarray(jax.tree_util.tree_leaves(out)[0])
+    ts = []
+    for _ in range(n):
+        t0 = time.time(); out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]); ts.append(time.time() - t0)
+    return 1000 * min(ts)
+
+for sh2, wb2, fd in ((64, 8, False), (64, 16, False), (64, 8, True), (64, 16, True)):
+    f = jax.jit(lambda i, x, y, s=sh2, b=wb2, d=fd:
+                strip_sample(i, x, y, sh=s, wb=b, fused_dot=d)[0].sum())
+    try:
+        log(f"strip(hoist+pack) sh={sh2} wb={wb2} fused={int(fd)}: {timeit(f, imgs4, gx, gy):.1f} ms")
+    except Exception as e:
+        log(f"strip(hoist+pack) sh={sh2} wb={wb2} fused={int(fd)}: FAIL {type(e).__name__}: {str(e)[:160]}")
+
+# ---- validation-scale SMEM check: NW=16384 single segment ------------------
+NWV = 16384
+cxv = jax.random.uniform(kc, (V, NWV, 1), minval=0.0, maxval=W - 1.0)
+cyv = jax.random.uniform(jax.random.fold_in(kc, 3), (V, NWV, 1), minval=0.0, maxval=H - 1.0)
+gxv = jnp.clip(cxv + jax.random.uniform(ko, (V, NWV, 128), minval=-3.0, maxval=3.0), 0, W - 1.0)
+gyv = jnp.clip(cyv + jax.random.uniform(jax.random.fold_in(ko, 3), (V, NWV, 128), minval=-3.0, maxval=3.0), 0, H - 1.0)
+fv = jax.jit(lambda i, x, y: strip_sample(i, x, y)[0].sum())
+try:
+    log(f"strip val-scale NW=16384 P=128: {timeit(fv, imgs4, gxv, gyv):.1f} ms (SMEM fix confirmed)")
+except Exception as e:
+    log(f"strip val-scale: FAIL {type(e).__name__}: {str(e)[:200]}")
+
 log("SESSION2_DONE")
