@@ -62,6 +62,11 @@ DEFAULT_SH = 64  # strip height; centered origins cover clusters ≤46 px tall
 # channel's DMA. Both paths stay oracle-tested (tests/test_strip_sample.py).
 DEFAULT_WB = 16  # strips per grid step (DMA double-buffered)
 DEFAULT_FUSED_DOT = True
+# The packed-origin scalar-prefetch operand must stay within half the
+# chip's 1 MB SMEM (the other half is compiler scratch / spill slots);
+# strip_sample splits NW into segments beyond this. Module-level so tests
+# can shrink it to exercise the segmented path on small inputs.
+_SMEM_ORIGIN_BUDGET = 512 * 1024  # bytes
 
 
 def _make_kernel(sh: int, wb: int, p: int, fused_dot: bool):
@@ -254,7 +259,7 @@ def strip_sample(
     # half the chip's 1 MB SMEM; larger NW (full-frame validation renders
     # reach NW = 16384/view and beyond at resolution_level 1) is processed
     # in segments of whole wb-groups.
-    max_nw = max(wb, ((512 * 1024 // 4) // max(v, 1)) // wb * wb)
+    max_nw = max(wb, ((_SMEM_ORIGIN_BUDGET // 4) // max(v, 1)) // wb * wb)
     if nw_pad <= max_nw:
         fn = _build_call(v, nw_pad, p_pad, h, w_img, sh, wb, fused_dot, interpret)
         flat = fn(yx0, rx, ry, images4)  # [V, NWpad, 3*Ppad]

@@ -250,3 +250,22 @@ def test_render_strip_topk_truncation_close():
     for k in ["patch_colors", "color_pixel"]:
         d = np.abs(np.asarray(ret_s[k]) - np.asarray(ret_g[k])).max()
         assert d <= dropped + 5e-3, (k, d, dropped)
+
+
+def test_strip_sample_nw_segmented(monkeypatch):
+    """The SMEM guard splits large-NW calls into several pallas_calls of
+    whole wb-groups (full-frame validation reaches NW=16384/view). Shrink
+    the budget so a small input takes the segmented path and must agree
+    with the single-call result."""
+    import neuraludf_tpu.ops.strip_sample as ss
+
+    key = jax.random.PRNGKey(4)
+    imgs4 = prepare_images(jax.random.uniform(key, (2, 3, H, W), jnp.float32))
+    gx, gy = _clustered_positions(jax.random.fold_in(key, 1), v=2, nw=12, p=128)
+
+    whole, in_a = strip_sample(imgs4, gx, gy, wb=4, interpret=True)
+    # budget of one wb-group of origins per view: 2 views * 4 strips * 4 B
+    monkeypatch.setattr(ss, "_SMEM_ORIGIN_BUDGET", 2 * 4 * 4)
+    seg, in_b = strip_sample(imgs4, gx, gy, wb=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(in_a), np.asarray(in_b))
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(seg), atol=1e-6)
