@@ -60,6 +60,8 @@ class TrainConfig:
     # NEURALUDF_* env vars remain as overrides only)
     blend_scan_window: bool = False  # lax.scan windows for blending steps
     incremental_mesh: bool = False  # incremental grid re-query between extractions
+    scan_unroll: int = 1  # lax.scan unroll of the train window (overlaps the
+    # per-iteration weight re-staging; env NEURALUDF_SCAN_UNROLL overrides)
 
 
 @dataclass(frozen=True)

@@ -191,14 +191,19 @@ class Runner:
         return self._step_fns[blending]
 
     def _get_window_fn(self, blending: bool, window: int):
-        key = (blending, window)
+        unroll = int(os.environ.get("NEURALUDF_SCAN_UNROLL", "0")) \
+            or self.cfg.train.scan_unroll
+        while window % unroll != 0:  # windows of 50/25/10/5 vs unroll 2/4
+            unroll -= 1
+        key = (blending, window, unroll)
         if not hasattr(self, "_window_fns"):
             self._window_fns = {}
         if key not in self._window_fns:
             from .step import build_train_window
 
             self._window_fns[key] = build_train_window(
-                self.cfg, self.renderer, blending=blending, window=window
+                self.cfg, self.renderer, blending=blending, window=window,
+                unroll=unroll,
             )
         return self._window_fns[key]
 

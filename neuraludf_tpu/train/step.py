@@ -175,13 +175,22 @@ def build_train_step(cfg: Config, renderer: UDFRenderer, *, blending: bool):
     return partial(jax.jit, donate_argnums=(0, 1))(body)
 
 
-def build_train_window(cfg: Config, renderer: UDFRenderer, *, blending: bool, window: int):
+def build_train_window(cfg: Config, renderer: UDFRenderer, *, blending: bool,
+                       window: int, unroll: int = 1):
     """`window` iterations fused into one dispatch via lax.scan.
 
     sched entries arrive stacked as [window] arrays; img_idxs is [window];
     metrics come back as one [window, len(METRIC_KEYS)] array.
+
+    `unroll` > 1 unrolls the scan body so XLA can overlap the per-iteration
+    weight re-staging (Adam rewrites every weight each step, so each scan
+    iteration re-prefetches all MLP weights to VMEM — the dominant
+    non-compute slice of the round-4 windowed trace) with the previous
+    iteration's tail compute. Must divide `window`.
     """
     body = build_step_body(cfg, renderer, blending=blending)
+    if window % unroll != 0:
+        raise ValueError(f"unroll {unroll} must divide window {window}")
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def window_fn(params, opt_state, scene, ref_src_pairs, img_idxs, base_key, scheds):
@@ -194,7 +203,8 @@ def build_train_window(cfg: Config, renderer: UDFRenderer, *, blending: bool, wi
             return (p, o), jnp.stack([m[name] for name in METRIC_KEYS])
 
         (params, opt_state), mrows = jax.lax.scan(
-            scan_body, (params, opt_state), (img_idxs, keys, scheds)
+            scan_body, (params, opt_state), (img_idxs, keys, scheds),
+            unroll=unroll,
         )
         return params, opt_state, mrows
 

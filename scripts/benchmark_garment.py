@@ -45,6 +45,17 @@ def main():
     ap.add_argument("--ft_iters", type=int, default=0,
                     help="garment ft stage (ref udf_garment_blending_ft.conf: "
                          "lr 5e-5 both groups, same_lr, anneal done)")
+    ap.add_argument("--sparse_weight", type=float, default=None,
+                    help="override train.sparse_weight for both stages — the "
+                         "reference's per-scan `-s` sweep knob "
+                         "(ref bashs/bash_garment_blending.sh)")
+    ap.add_argument("--ft_blend", action="store_true",
+                    help="enable pixel/patch blending losses in the ft stage "
+                         "(0.1/0.1, h_patch_size 5 — the DTU ft recipe; the "
+                         "shipped garment ft keeps them 0). Framework "
+                         "experiment beyond the reference recipe.")
+    ap.add_argument("--ft_init_ckpt", default=None,
+                    help="skip stage 1 entirely and finetune from this ckpt")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--fused", default="auto")
@@ -107,12 +118,16 @@ def main():
             cfg.train, end_iter=args.iters, batch_size=args.batch_size,
             save_freq=25_000, val_freq=10**9, val_mesh_freq=10**9,
             report_freq=1000,
+            **({"sparse_weight": args.sparse_weight}
+               if args.sparse_weight is not None else {}),
         ),
     )
     runner = Runner(cfg, seed=0, reg_weights_schedule=True)
 
     train_s = 0.0
-    if args.skip_train:
+    if args.ft_init_ckpt:
+        stage1_ck = args.ft_init_ckpt
+    elif args.skip_train:
         stage1_ck = args.init_ckpt or runner._latest_checkpoint()
         assert stage1_ck, f"--skip_train but no checkpoint under {exp_dir}"
         runner.load_checkpoint(stage1_ck)
@@ -126,8 +141,25 @@ def main():
     if args.ft_iters:
         # ref udf_garment_blending_ft.conf:23-27: lr 5e-5 both, same_lr,
         # 50k; color/reg weights unchanged (pixel/patch stay 0)
+        ft_color = cfg.color_loss
+        ft_model = cfg.model
+        if args.ft_blend:
+            # the DTU ft blending recipe (ref udf_dtu_blending_ft.conf:51-59)
+            # applied to the garment stage — the mechanism that carves
+            # interior membranes on the lobed benchmark (RESULTS.md)
+            ft_color = dataclasses.replace(
+                cfg.color_loss, color_pixel_weight=0.1,
+                color_patch_weight=0.1, h_patch_size=5,
+            )
+            ft_model = dataclasses.replace(
+                cfg.model,
+                udf_renderer=dataclasses.replace(
+                    cfg.model.udf_renderer, h_patch_size=5),
+            )
         ft_cfg = dataclasses.replace(
             cfg,
+            color_loss=ft_color,
+            model=ft_model,
             train=dataclasses.replace(
                 cfg.train, end_iter=args.ft_iters,
                 learning_rate=5e-5, learning_rate_geo=5e-5, same_lr=True,
@@ -177,6 +209,8 @@ def main():
         "tag": args.tag,
         "iters": args.iters,
         "ft_iters": args.ft_iters,
+        "sparse_weight": args.sparse_weight,
+        "ft_blend": args.ft_blend,
         "batch_size": args.batch_size,
         "resolution": args.resolution,
         "chamfer_e-3": round(r.chamfer * 1e3, 4),
