@@ -81,7 +81,14 @@ def main():
 
     # measure the real training path: `window` iterations per dispatch
     window = 50
-    step = build_train_window(cfg, renderer, blending=False, window=window)
+    # honor the production unroll default (cfg.train.scan_unroll) so bench
+    # measures the same program the Runner dispatches
+    unroll = cfg.train.scan_unroll
+    while window % unroll != 0:
+        unroll -= 1
+    step = build_train_window(
+        cfg, renderer, blending=False, window=window, unroll=unroll
+    )
 
     def sched_rows(start):
         rows = []

@@ -61,7 +61,12 @@ class TrainConfig:
     blend_scan_window: bool = False  # lax.scan windows for blending steps
     incremental_mesh: bool = False  # incremental grid re-query between extractions
     scan_unroll: int = 1  # lax.scan unroll of the train window (overlaps the
-    # per-iteration weight re-staging; env NEURALUDF_SCAN_UNROLL overrides)
+    # per-iteration weight re-staging; env NEURALUDF_SCAN_UNROLL overrides).
+    # On-chip A/B (round 4): bench.py measured 17.22 (unroll=1) vs 17.45 ms
+    # (unroll=2) — the unroll does NOT recover the ~3.6 ms in-scan weight
+    # re-staging stall (XLA re-stages per unrolled body copy too); negative
+    # result, default stays 1. (A same-session 22.9-vs-16.9 ordering was an
+    # artifact of post-wedge drain inflating the first measurement.)
 
 
 @dataclass(frozen=True)

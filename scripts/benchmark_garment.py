@@ -204,6 +204,21 @@ def main():
                   thresh1=0.001, thresh2=0.002,
                   vis_out_dir=os.path.join(exp_dir, "eval_vis"), scan=0)
 
+    # ---- secondary: score after visual-hull cleaning (RESULTS.md lever #2;
+    # the DF3D protocol itself scores raw — this column isolates how much of
+    # the d->GT error the silhouette hull can remove; synthetic scale_mat is
+    # identity so normalized == world and the masks project directly) -------
+    rc = None
+    try:
+        from neuraludf_tpu.eval.clean_mesh import clean_mesh_faces_by_visualhull
+        cleaned_ply = raw_ply.replace(".ply", "_vhull.ply")
+        clean_mesh_faces_by_visualhull(raw_ply, cleaned_ply, scene_dir,
+                                       mask_dilated_size=11, border=0)
+        rc = eval_mesh(cleaned_ply, gt, downsample_density=0.002, max_dist=0.1,
+                       thresh1=0.001, thresh2=0.002, vis_out_dir=None, scan=0)
+    except Exception as e:
+        print("visual-hull-cleaned scoring failed:", e)
+
     verts, _ = load_ply(raw_ply)
     row = {
         "tag": args.tag,
@@ -220,6 +235,8 @@ def main():
         "precision_1mm": round(r.precision_1, 4),
         "recall_1mm": round(r.recall_1, 4),
         "fscore_2mm": round(r.fscore_2, 4),
+        "chamfer_vhull_e-3": round(rc.chamfer * 1e3, 4) if rc else None,
+        "fscore_1mm_vhull": round(rc.fscore_1, 4) if rc else None,
         "n_verts": int(len(verts)),
         "train_s": round(train_s, 1),
         "it_per_s": round((args.iters + args.ft_iters) / train_s, 1) if train_s else None,
