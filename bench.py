@@ -81,9 +81,13 @@ def main():
 
     # measure the real training path: `window` iterations per dispatch
     window = 50
-    # honor the production unroll default (cfg.train.scan_unroll) so bench
-    # measures the same program the Runner dispatches
-    unroll = cfg.train.scan_unroll
+    # honor the production unroll resolution (env NEURALUDF_SCAN_UNROLL
+    # takes priority over cfg.train.scan_unroll, mirroring
+    # Runner._get_window_fn) so bench measures the same program the
+    # Runner dispatches
+    unroll = int(os.environ.get("NEURALUDF_SCAN_UNROLL", "0")) \
+        or cfg.train.scan_unroll
+    unroll = max(1, unroll)
     while window % unroll != 0:
         unroll -= 1
     step = build_train_window(

@@ -1,7 +1,8 @@
 """Strip-resampling kernel: bilinear image sampling for the blending warps,
 restructured for the TPU's memory system.
 
-Why a second sampler (beyond ops/window_sample.py): the blending (finetune)
+Why a dedicated sampler (beyond the torch-semantics gather path in
+ops/interp.py): the blending (finetune)
 losses bilinearly sample the 8 source views at ~56M warped positions per
 step (ref: models/patch_projector.py:45-150 via torch grid_sample). On TPU
 this is catastrophic in every gather formulation measured on-chip:

@@ -39,21 +39,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def build_parallel_train_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, blending: bool = False):
-    """Data-parallel train step: rays sharded over the mesh, params
-    replicated, gradients all-reduced over ICI by the partitioner.
-
-    Identical math to train.step.build_train_step; the only additions are
-    sharding constraints. Batch size must be divisible by the mesh size.
-    """
+def _build_dp_loss_fn(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, blending: bool):
+    """The DP loss: identical math to the single-chip step, plus sharding
+    constraints on the per-step ray batch. Shared by the single-step and
+    windowed builders below."""
     tcfg = cfg.train
     ccfg = cfg.color_loss
-    bcfg = cfg.model.beta_network
     assert tcfg.batch_size % mesh.devices.size == 0, (
         f"batch {tcfg.batch_size} not divisible by mesh size {mesh.devices.size}"
     )
-    data_sharding = NamedSharding(mesh, P("data"))
-    replicated = NamedSharding(mesh, P())
 
     opts = RenderOptions(
         perturb=cfg.model.udf_renderer.perturb > 0,
@@ -141,12 +135,14 @@ def build_parallel_train_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *,
         }
         return total, metrics
 
-    @partial(
-        jax.jit,
-        donate_argnums=(0, 1),
-        out_shardings=(replicated, replicated, replicated),
-    )
-    def step(params, opt_state, scene, ref_src_pairs, img_idx, key, sched):
+    return loss_fn
+
+
+def _dp_body(cfg: Config, loss_fn):
+    """grad + Adam update for one DP iteration (shared single/windowed)."""
+    bcfg = cfg.model.beta_network
+
+    def body(params, opt_state, scene, ref_src_pairs, img_idx, key, sched):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, scene, ref_src_pairs, img_idx, key, sched
         )
@@ -157,7 +153,68 @@ def build_parallel_train_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *,
         params, opt_state = tree_adam_step(params, grads, opt_state, lr_fn, trainable_fn)
         return params, opt_state, metrics
 
+    return body
+
+
+def build_parallel_train_step(cfg: Config, renderer: UDFRenderer, mesh: Mesh, *, blending: bool = False):
+    """Data-parallel train step: rays sharded over the mesh, params
+    replicated, gradients all-reduced over ICI by the partitioner.
+
+    Identical math to train.step.build_train_step; the only additions are
+    sharding constraints. Batch size must be divisible by the mesh size.
+    """
+    loss_fn = _build_dp_loss_fn(cfg, renderer, mesh, blending=blending)
+    body = _dp_body(cfg, loss_fn)
+    replicated = NamedSharding(mesh, P())
+
+    step = partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        out_shardings=(replicated, replicated, replicated),
+    )(body)
     return step
+
+
+def build_parallel_train_window(
+    cfg: Config, renderer: UDFRenderer, mesh: Mesh, *,
+    blending: bool = False, window: int, unroll: int = 1,
+):
+    """`window` DP iterations fused into one dispatch via lax.scan — the
+    multi-chip analogue of train.step.build_train_window: each scan
+    iteration samples its ray batch, shard-constrains it over the 'data'
+    axis, and the partitioner all-reduces gradients over ICI. `unroll`
+    unrolls the scan body exactly as the single-chip window does.
+
+    sched entries arrive stacked as [window] arrays; img_idxs is [window];
+    metrics come back as a dict of [window] arrays.
+    """
+    if window % max(1, unroll) != 0:
+        raise ValueError(f"unroll {unroll} must divide window {window}")
+    loss_fn = _build_dp_loss_fn(cfg, renderer, mesh, blending=blending)
+    body = _dp_body(cfg, loss_fn)
+    replicated = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+        out_shardings=(replicated, replicated, replicated),
+    )
+    def window_fn(params, opt_state, scene, ref_src_pairs, img_idxs, base_key, scheds):
+        keys = jax.random.split(base_key, window)
+
+        def scan_body(carry, xs):
+            p, o = carry
+            idx, k, srow = xs
+            p, o, m = body(p, o, scene, ref_src_pairs, idx, k, srow)
+            return (p, o), m
+
+        (params, opt_state), metrics = jax.lax.scan(
+            scan_body, (params, opt_state), (img_idxs, keys, scheds),
+            unroll=max(1, unroll),
+        )
+        return params, opt_state, metrics
+
+    return window_fn
 
 
 def shard_grid_query(mesh: Mesh, fn):

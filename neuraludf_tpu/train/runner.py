@@ -193,6 +193,7 @@ class Runner:
     def _get_window_fn(self, blending: bool, window: int):
         unroll = int(os.environ.get("NEURALUDF_SCAN_UNROLL", "0")) \
             or self.cfg.train.scan_unroll
+        unroll = max(1, unroll)  # guard 0/negative before the divisor walk
         while window % unroll != 0:  # windows of 50/25/10/5 vs unroll 2/4
             unroll -= 1
         key = (blending, window, unroll)
@@ -697,7 +698,10 @@ class Runner:
 
         out = os.path.join(self.base_exp_dir, "udf_meshes")
         os.makedirs(out, exist_ok=True)
-        path = os.path.join(out, f"udf_res{resolution}_step{self.iter_step}.ply")
+        suffix = "" if algorithm == "tets" else f"_{algorithm}"
+        path = os.path.join(
+            out, f"udf_res{resolution}_step{self.iter_step}{suffix}.ply"
+        )
         export_ply(path, verts, faces)
         return path
 

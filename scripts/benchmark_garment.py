@@ -167,8 +167,14 @@ def main():
                 anneal_end=min(25_000, args.ft_iters // 2),
             ),
         )
+        # reg_weights_schedule=False: the reference ft launcher
+        # (bashs/bash_garment_blending_ft.sh) does NOT pass
+        # --reg_weights_schedule, so sparse/igr_ns apply at FULL value from
+        # ft step 0 (exp_runner_blending.py:361-365 with the finetune
+        # iter_step reset at :479-480). Round-4's run gated sparse to the
+        # ft's second half — half the reference's regularizer exposure.
         ft_runner = Runner(ft_cfg, seed=0, is_finetune=True,
-                           reg_weights_schedule=True)
+                           reg_weights_schedule=False)
         ft_runner.load_checkpoint(stage1_ck)
         t0 = time.time()
         ft_runner.train()

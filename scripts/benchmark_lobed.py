@@ -52,6 +52,11 @@ def main():
                     help="override udf_renderer.blend_top_k for the ft stage "
                          "(0 = keep config; speed/quality A/B: fewer warped "
                          "samples per ray -> proportionally fewer strip DMAs)")
+    ap.add_argument("--mc_backend", default="tets",
+                    choices=("tets", "lewiner"),
+                    help="cube triangulation backend for the extraction "
+                         "(lewiner = the reference's default topology engine, "
+                         "ref custom_mc/_marching_cubes_lewiner_cy.pyx)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse the newest checkpoint under the tag dir")
     ap.add_argument("--init_ckpt", default=None,
@@ -169,7 +174,8 @@ def main():
     t0 = time.time()
     raw_ply = runner.extract_udf_mesh(world_space=False,
                                       resolution=args.resolution,
-                                      dist_threshold_ratio=5.0)
+                                      dist_threshold_ratio=5.0,
+                                      algorithm=args.mc_backend)
     extract_s = time.time() - t0
 
     # ---- the DTU cleaning pipeline (ref clean_dtu_mesh.py) ----------------
@@ -206,6 +212,7 @@ def main():
         "iters": args.iters,
         "ft_iters": args.ft_iters,
         "blend_top_k": args.blend_top_k or None,
+        "mc_backend": args.mc_backend,
         "batch_size": args.batch_size,
         "fused": args.fused,
         "precision": args.precision,
