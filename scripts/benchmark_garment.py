@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--fused", default="auto")
     ap.add_argument("--precision", default="default")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue stage 1 from the latest checkpoint under "
+                         "the tag's exp dir (bit-exact resume incl. RNG "
+                         "fast-forward — test_resume)")
     ap.add_argument("--init_ckpt", default=None)
     ap.add_argument("--views", type=int, default=49)
     ap.add_argument("--H", type=int, default=1200)
@@ -122,7 +126,8 @@ def main():
                if args.sparse_weight is not None else {}),
         ),
     )
-    runner = Runner(cfg, seed=0, reg_weights_schedule=True)
+    runner = Runner(cfg, seed=0, reg_weights_schedule=True,
+                    is_continue=args.resume)
 
     train_s = 0.0
     if args.ft_init_ckpt:
