@@ -59,11 +59,12 @@ class TrainConfig:
     # capability switches (recorded in the experiment snapshot; the
     # NEURALUDF_* env vars remain as overrides only)
     blend_scan_window: bool = False  # lax.scan windows for blending steps
+    stall_warn_s: float = 600.0  # warn when no dispatch completes for this
+    # long (0 disables) — a TPU-worker restart leaves the in-flight RPC
+    # blocked forever with zero signal; see utils/watchdog.py
     incremental_mesh: bool = False  # incremental grid re-query between extractions
-    scan_unroll: int = 2  # lax.scan unroll of the train window (overlaps the
+    scan_unroll: int = 1  # lax.scan unroll of the train window (overlaps the
     # per-iteration weight re-staging; env NEURALUDF_SCAN_UNROLL overrides).
-    # Default 2 from the round-5 on-chip A/B on the DP-windowed step:
-    # 16.94 ms/step vs 22.92 at unroll=1 (unroll=5: 17.07 — no further win).
     # On-chip A/B (round 4): bench.py measured 17.22 (unroll=1) vs 17.45 ms
     # (unroll=2) — the unroll does NOT recover the ~3.6 ms in-scan weight
     # re-staging stall (XLA re-stages per unrolled body copy too); negative

@@ -264,6 +264,15 @@ class Runner:
         res_step = self.end_iter - self.iter_step
         t_start = time.time()
 
+        # liveness signal for wedged dispatches (see utils/watchdog.py)
+        from ..utils.watchdog import StallWatchdog
+
+        if getattr(self, "_watchdog", None) is not None:
+            self._watchdog.stop()  # a crashed earlier train() left one behind
+        watchdog = self._watchdog = StallWatchdog(
+            tcfg.stall_warn_s, tag_fn=lambda: f"iter {self.iter_step}"
+        ).start()
+
         def next_img_indices(k: int) -> np.ndarray:
             nonlocal image_perm
             out = np.empty((k,), np.int32)
@@ -331,6 +340,7 @@ class Runner:
                     self.iter_step += 1
                     pending.append(jnp.stack([metrics[key] for key in METRIC_KEYS]))
                 mat = np.asarray(jnp.stack(pending))  # one [k, M] transfer
+                watchdog.beat()
                 for j in range(k):
                     self._post_step_host(
                         self.iter_step - k + 1 + j,
@@ -353,10 +363,13 @@ class Runner:
             done += k
 
             mat = np.asarray(mrows)  # one [window, M] transfer
+            watchdog.beat()
             for j in range(k):
                 m = dict(zip(METRIC_KEYS, mat[j].tolist()))
                 self._post_step_host(self.iter_step - k + 1 + j, m, t_start, report_hook)
             self._periodic_actions()
+        watchdog.stop()
+        self._watchdog = None
 
     def _periodic_actions(self):
         """Fire periodic actions. Range-aware: called once per dispatch

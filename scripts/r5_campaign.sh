@@ -88,7 +88,7 @@ else
   say "no lobed stage-1 ckpt — skipping B2-B4"
 fi
 
-say "final: bench.py (confirms the scan_unroll=2 default on-chip)"
+say "final: bench.py (round-5 closing measurement, quiet chip)"
 timeout 1200 python bench.py >> "$LOG" 2>&1 || say "bench FAILED rc=$?"
 
 say "campaign complete"
