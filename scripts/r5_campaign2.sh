@@ -1,0 +1,87 @@
+#!/bin/bash
+# Round-5 campaign, part 2 (takeover sequencer — part 1's A1/A2 landed;
+# this waits for A3, then runs the remaining highest-value chip jobs with
+# hard deadline guards so nothing overruns into the driver's closing
+# bench window).
+#
+#   A4: one more sparse_weight sweep point (-s 0.03) following the
+#       reference's per-scan sweep procedure (ref bashs/
+#       bash_garment_blending.sh:32-36). If A3 (blend + s0.01) beat A1,
+#       A4 also enables blending; else plain ft like A1.
+#   B1: lobed stage-1 50k on the regenerated scene (re-establishes the
+#       r3 headline row; also calibrates scene comparability vs r3's
+#       0.505 mm).
+#   B3: lobed ft 50k at blend_top_k=16 (the -19% strip-kernel win's
+#       quality A/B, judged against r3's k32 0.450 mm with B1 as the
+#       reproduction control).
+#   B4: Lewiner-backend extraction row from B3's ft checkpoint.
+#   bench.py last, on a quiet chip.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/r5_campaign.log
+say() { echo "[campaign2 $(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
+past() { [ "$(date +%H%M)" -ge "$1" ]; }   # past 1225 == at/after 12:25
+
+GCK=exp/benchmark_garment/garment_r5_s1/udf_garment/checkpoints/ckpt_300000.ckpt
+GR=exp/benchmark_garment/results.jsonl
+
+# -- wait for A3 (row 5 in the garment results) ---------------------------
+say "waiting for A3 (ftblend_s01) to finish ..."
+while [ "$(wc -l < $GR)" -lt 5 ] && ! past 1130; do sleep 60; done
+say "A3 row: $(tail -1 $GR | head -c 200)"
+
+# -- A4: next sweep point, branch on whether A3 beat A1 -------------------
+if ! past 1140; then
+  A4FLAGS=$(python - <<'EOF'
+import json
+rows = {}
+for line in open("exp/benchmark_garment/results.jsonl"):
+    r = json.loads(line)
+    rows[r["tag"]] = r
+a1 = rows.get("garment_r5_ft_s01", {}).get("chamfer_e-3", 1e9)
+a3 = rows.get("garment_r5_ftblend_s01", {}).get("chamfer_e-3", 1e9)
+print("--ft_blend" if a3 < a1 else "")
+EOF
+)
+  say "A4: garment ft, sparse_weight=0.03 (sweep point) flags='$A4FLAGS'"
+  timeout 3600 python scripts/benchmark_garment.py --tag garment_r5_ft_s03 \
+    --iters 0 --ft_iters 50000 --sparse_weight 0.03 $A4FLAGS \
+    --ft_init_ckpt "$GCK" >> "$LOG" 2>&1 || say "A4 FAILED rc=$?"
+else
+  say "deadline: skipping A4"
+fi
+
+# -- B1: lobed stage-1 ----------------------------------------------------
+if ! past 1210; then
+  say "B1: lobed stage-1 50k (regenerated scene)"
+  timeout 5400 python scripts/benchmark_lobed.py --tag r5_stage1_50k \
+    --iters 50000 >> "$LOG" 2>&1 || say "B1 FAILED rc=$?"
+else
+  say "deadline: skipping B1"
+fi
+LCK=exp/benchmark_lobed/r5_stage1_50k/udf_synthetic/checkpoints/ckpt_050000.ckpt
+
+# -- B3: lobed ft at blend_top_k=16 --------------------------------------
+if [ -f "$LCK" ] && ! past 1225; then
+  say "B3: lobed ft 50k, blend_top_k=16 (quality A/B for the -19% kernel win)"
+  timeout 5400 python scripts/benchmark_lobed.py --tag r5_ft50k_k16 \
+    --iters 50000 --skip_train --init_ckpt "$LCK" --ft_iters 50000 \
+    --blend_top_k 16 >> "$LOG" 2>&1 || say "B3 FAILED rc=$?"
+else
+  say "deadline or missing ckpt: skipping B3"
+fi
+FCK=exp/benchmark_lobed/r5_ft50k_k16/udf_synthetic/checkpoints/ckpt_050000.ckpt
+
+# -- B4: Lewiner-backend row (extraction only, same ckpt as B3) -----------
+if [ -f "$FCK" ] && ! past 1300; then
+  say "B4: lobed Lewiner-backend row (same ft ckpt as B3, extraction only)"
+  timeout 3000 python scripts/benchmark_lobed.py --tag r5_ft50k_k16_lewiner \
+    --iters 50000 --skip_train --init_ckpt "$FCK" --mc_backend lewiner \
+    >> "$LOG" 2>&1 || say "B4 FAILED rc=$?"
+else
+  say "deadline or missing ckpt: skipping B4"
+fi
+
+say "final: bench.py (round-5 closing measurement, quiet chip)"
+timeout 1200 python bench.py >> "$LOG" 2>&1 || say "bench FAILED rc=$?"
+say "campaign2 complete"
