@@ -63,6 +63,13 @@ class TrainConfig:
     # long (0 disables) — a TPU-worker restart leaves the in-flight RPC
     # blocked forever with zero signal; see utils/watchdog.py
     incremental_mesh: bool = False  # incremental grid re-query between extractions
+    freeze_variance: bool = False  # TPU-repo extension (not a reference knob):
+    # keep the variance scalar untrainable for the whole run, overriding the
+    # reference's it>20000 auto-enable (exp_runner:353-359) and any trainability
+    # recorded in a loaded checkpoint. Rationale: the zero-level transition
+    # bias of the rendered surface scales with the converged variance
+    # (scripts/udf_bias_probe.py); finetunes that re-grow variance re-inflate
+    # that bias, so per-scan finetunes may pin it at the stage-1 value.
     scan_unroll: int = 1  # lax.scan unroll of the train window (overlaps the
     # per-iteration weight re-staging; env NEURALUDF_SCAN_UNROLL overrides).
     # On-chip A/B (round 4): bench.py measured 17.22 (unroll=1) vs 17.45 ms

@@ -97,7 +97,9 @@ class Runner:
 
         # runtime trainability state machine (ref: exp_runner:353-359)
         self.beta_trainable = cfg.model.beta_network.requires_grad_beta
-        self.variance_trainable = cfg.model.variance_network.requires_grad
+        self.variance_trainable = (
+            cfg.model.variance_network.requires_grad and not cfg.train.freeze_variance
+        )
         self._beta_flag = True
 
         self._train_step = None
@@ -170,7 +172,10 @@ class Runner:
         self.opt_state = to_dev(payload["opt_state"])
         self.iter_step = int(payload["iter_step"])
         self.beta_trainable = bool(payload.get("beta_trainable", self.beta_trainable))
-        self.variance_trainable = bool(payload.get("variance_trainable", True))
+        self.variance_trainable = (
+            bool(payload.get("variance_trainable", True))
+            and not self.cfg.train.freeze_variance
+        )
         if "rng" in payload:
             self.rng = jnp.asarray(payload["rng"])
         if self.is_finetune:  # finetune restarts the schedule clock (ref: :479-480)
@@ -429,7 +434,7 @@ class Runner:
             log.info("make beta trainable (iter %d)", it)
             self.beta_trainable = True
             self._beta_flag = False
-        if not self.variance_trainable and it > 20000:
+        if not self.variance_trainable and it > 20000 and not tcfg.freeze_variance:
             self.variance_trainable = True
 
         for k in ("loss", "mask_loss", "gradient_error", "variance", "beta", "psnr"):

@@ -56,6 +56,11 @@ def main():
                          "experiment beyond the reference recipe.")
     ap.add_argument("--ft_init_ckpt", default=None,
                     help="skip stage 1 entirely and finetune from this ckpt")
+    ap.add_argument("--freeze_variance", action="store_true",
+                    help="pin the variance scalar at its checkpoint value for "
+                         "the whole run (train.freeze_variance — see "
+                         "config.py). Counters the variance-regrowth zero-"
+                         "level bias diagnosed by scripts/udf_bias_probe.py.")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--fused", default="auto")
@@ -124,6 +129,7 @@ def main():
             report_freq=1000,
             **({"sparse_weight": args.sparse_weight}
                if args.sparse_weight is not None else {}),
+            freeze_variance=args.freeze_variance,
         ),
     )
     runner = Runner(cfg, seed=0, reg_weights_schedule=True,
@@ -237,6 +243,7 @@ def main():
         "ft_iters": args.ft_iters,
         "sparse_weight": args.sparse_weight,
         "ft_blend": args.ft_blend,
+        "freeze_variance": args.freeze_variance,
         "batch_size": args.batch_size,
         "resolution": args.resolution,
         "chamfer_e-3": round(r.chamfer * 1e3, 4),

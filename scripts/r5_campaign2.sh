@@ -25,12 +25,18 @@ past() { [ "$(date +%H%M)" -ge "$1" ]; }   # past 1225 == at/after 12:25
 GCK=exp/benchmark_garment/garment_r5_s1/udf_garment/checkpoints/ckpt_300000.ckpt
 GR=exp/benchmark_garment/results.jsonl
 
-# -- wait for A3 (row 5 in the garment results) ---------------------------
-say "waiting for A3 (ftblend_s01) to finish ..."
-while [ "$(wc -l < $GR)" -lt 5 ] && ! past 1130; do sleep 60; done
-say "A3 row: $(tail -1 $GR | head -c 200)"
+# -- wait for the A3 process itself (row counts are pollutable by CPU
+# smokes appending to the same results file) ------------------------------
+A3PID="${A3PID:-}"   # pass the python pid via env: A3PID=NNN bash r5_campaign2.sh
+say "waiting for A3 (ftblend_s01, pid ${A3PID:-none}) to finish ..."
+while [ -n "${A3PID}" ] && kill -0 "$A3PID" 2>/dev/null; do sleep 30; done
+say "A3 row: $(grep ftblend_s01 $GR | tail -1 | head -c 200)"
 
-# -- A4: next sweep point, branch on whether A3 beat A1 -------------------
+# -- A4: ft -s 0.01 with the variance scalar frozen -----------------------
+# Evidence (scripts/udf_bias_probe.py on A1's ckpt): the residual 3.37e-3
+# error is a zero-set displaced ~2-2.9e-3 inward, tracking the variance
+# scalar the ft re-grew (0.0012 -> 0.0035). Pin variance at the stage-1
+# value; keep the winning -s 0.01. Branch in --ft_blend only if A3 beat A1.
 if ! past 1140; then
   A4FLAGS=$(python - <<'EOF'
 import json
@@ -43,9 +49,9 @@ a3 = rows.get("garment_r5_ftblend_s01", {}).get("chamfer_e-3", 1e9)
 print("--ft_blend" if a3 < a1 else "")
 EOF
 )
-  say "A4: garment ft, sparse_weight=0.03 (sweep point) flags='$A4FLAGS'"
-  timeout 3600 python scripts/benchmark_garment.py --tag garment_r5_ft_s03 \
-    --iters 0 --ft_iters 50000 --sparse_weight 0.03 $A4FLAGS \
+  say "A4: garment ft, -s 0.01 + freeze_variance flags='$A4FLAGS'"
+  timeout 3600 python scripts/benchmark_garment.py --tag garment_r5_ft_s01_fv \
+    --iters 0 --ft_iters 50000 --sparse_weight 0.01 --freeze_variance $A4FLAGS \
     --ft_init_ckpt "$GCK" >> "$LOG" 2>&1 || say "A4 FAILED rc=$?"
 else
   say "deadline: skipping A4"
