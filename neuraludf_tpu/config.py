@@ -77,6 +77,12 @@ class TrainConfig:
     # re-staging stall (XLA re-stages per unrolled body copy too); negative
     # result, default stays 1. (A same-session 22.9-vs-16.9 ordering was an
     # artifact of post-wedge drain inflating the first measurement.)
+    flat_adam: bool = False  # optimizer compute layout (numerics identical —
+    # test_flat_adam_matches_tree): apply Adam as ONE fused update over the
+    # concatenated 1.29M-element parameter vector instead of ~85 per-leaf
+    # fusions. Targets the ~3.6 ms/step weight-restaging stall on the scan
+    # window's backward→optimizer→forward critical path (DESIGN.md §7c).
+    # Env NEURALUDF_FLAT_ADAM=1/0 overrides (A/B knob).
 
 
 @dataclass(frozen=True)

@@ -84,6 +84,78 @@ def tree_adam_step(
     )
 
 
+def flat_adam_step(
+    params: Params,
+    grads: Params,
+    state: Params,
+    lr_fn: Callable[[tuple], jnp.ndarray],
+    trainable_fn: Callable[[tuple], jnp.ndarray],
+):
+    """`tree_adam_step`, computed as ONE fused elementwise update over the
+    concatenated parameter vector.
+
+    Numerically identical per element (same ops, same order, same dtype —
+    `test_optim.py::test_flat_adam_matches_tree`); the payoff is the XLA
+    schedule: the per-leaf version puts ~85 small fusions on the
+    backward→optimizer→next-forward critical path inside the scan window
+    (the round-4 trace's ~3.6 ms/step weight-restaging stall, DESIGN.md
+    §7c), the flat version replaces them with concat → one update kernel
+    → split. State layout (per-leaf m/v/t) is unchanged, so checkpoints
+    are interchangeable with the tree path.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    flat_grads = jax.tree_util.tree_leaves(grads)
+    is_state_leaf = lambda x: isinstance(x, dict) and "m" in x
+    state_flat, _ = jax.tree_util.tree_flatten_with_path(state, is_leaf=is_state_leaf)
+    if any(p.dtype != jnp.float32 for _, p in flat):  # pragma: no cover
+        return tree_adam_step(params, grads, state, lr_fn, trainable_fn)
+
+    sizes = [int(p.size) for _, p in flat]
+    shapes = [p.shape for _, p in flat]
+    p_f = jnp.concatenate([p.ravel() for _, p in flat])
+    g_f = jnp.concatenate([g.ravel() for g in flat_grads])
+    m_f = jnp.concatenate([s["m"].ravel() for _, s in state_flat])
+    v_f = jnp.concatenate([s["v"].ravel() for _, s in state_flat])
+    lr_parts, tr_parts, t_parts, t_new = [], [], [], []
+    for (path, p), (_, s) in zip(flat, state_flat):
+        keys = tuple(
+            k.key if hasattr(k, "key") else getattr(k, "idx", None) for k in path
+        )
+        ones = jnp.ones((p.size,), jnp.float32)
+        tr = trainable_fn(keys)
+        lr_parts.append(ones * lr_fn(keys))
+        tr_parts.append(ones * tr)
+        t_parts.append(ones * (s["t"] + tr))
+        t_new.append(s["t"] + tr)
+    lr_f = jnp.concatenate(lr_parts)
+    tr_f = jnp.concatenate(tr_parts)
+    t_f = jnp.concatenate(t_parts)
+
+    m = tr_f * (BETA1 * m_f + (1 - BETA1) * g_f) + (1 - tr_f) * m_f
+    v = tr_f * (BETA2 * v_f + (1 - BETA2) * g_f ** 2) + (1 - tr_f) * v_f
+    t_safe = jnp.maximum(t_f, 1.0)
+    m_hat = m / (1 - BETA1 ** t_safe)
+    v_hat = v / (1 - BETA2 ** t_safe)
+    new_p_f = p_f - tr_f * lr_f * m_hat / (jnp.sqrt(v_hat) + EPS)
+
+    def unflat(vec):
+        out, off = [], 0
+        for size, shape in zip(sizes, shapes):
+            out.append(jax.lax.slice(vec, (off,), (off + size,)).reshape(shape))
+            off += size
+        return out
+
+    new_params = jax.tree_util.tree_unflatten(treedef, unflat(new_p_f))
+    new_state = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(state, is_leaf=is_state_leaf),
+        [
+            {"m": mi, "v": vi, "t": ti}
+            for mi, vi, ti in zip(unflat(m), unflat(v), t_new)
+        ],
+    )
+    return new_params, new_state
+
+
 def make_lr_fn(lr_geo, lr_main, lr_nerf):
     """Reference param groups: geo=udf net, nerf=background, main=rest
     (ref: exp_runner_blending.py:130-139)."""

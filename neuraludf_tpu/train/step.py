@@ -15,6 +15,7 @@ Two entry points:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, List
 
@@ -25,7 +26,7 @@ from ..config import Config
 from ..data.dataset import near_far_from_sphere, ref_src_info, sample_random_rays
 from ..losses.color import ColorLossWeights, bce_mask_loss, color_loss, psnr
 from ..render.renderer import RenderOptions, UDFRenderer
-from .optim import make_lr_fn, make_trainable_fn, tree_adam_step
+from .optim import flat_adam_step, make_lr_fn, make_trainable_fn, tree_adam_step
 
 Params = Dict[str, Any]
 
@@ -155,6 +156,10 @@ def build_step_body(cfg: Config, renderer: UDFRenderer, *, blending: bool):
         }
         return total, metrics
 
+    flat = os.environ.get("NEURALUDF_FLAT_ADAM")
+    use_flat = tcfg.flat_adam if flat is None else flat == "1"
+    adam_step = flat_adam_step if use_flat else tree_adam_step
+
     def body(params, opt_state, scene, ref_src_pairs, img_idx, key, sched):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, scene, ref_src_pairs, img_idx, key, sched
@@ -163,7 +168,7 @@ def build_step_body(cfg: Config, renderer: UDFRenderer, *, blending: bool):
         trainable_fn = make_trainable_fn(
             bcfg, sched["variance_trainable"], sched["beta_trainable"]
         )
-        params, opt_state = tree_adam_step(params, grads, opt_state, lr_fn, trainable_fn)
+        params, opt_state = adam_step(params, grads, opt_state, lr_fn, trainable_fn)
         return params, opt_state, metrics
 
     return body

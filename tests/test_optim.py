@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from neuraludf_tpu.config import BetaNetworkConfig
 from neuraludf_tpu.train.optim import (
+    flat_adam_step,
     init_adam_state,
     make_lr_fn,
     make_trainable_fn,
@@ -87,3 +88,44 @@ def test_adam_freeze_semantics():
     params, state = tree_adam_step(params, grads, state, lr_fn, fn)
     assert float(state["beta"]["beta"]["t"]) == 1.0
     np.testing.assert_allclose(float(params["beta"]["beta"][0]), 1.0 - 1e-3, rtol=1e-4)
+
+
+def test_flat_adam_matches_tree():
+    """The flattened single-kernel Adam is bit-identical to the per-leaf
+    version on a real-shaped mixed tree (group lrs, frozen leaves, multiple
+    steps) and produces the same per-leaf state layout."""
+    import jax
+
+    rng = np.random.RandomState(1)
+    bcfg = BetaNetworkConfig(requires_grad_gamma=False, requires_grad_zeta=True)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    params = {
+        "udf": {"lin0": {"v": mk(39, 256), "g": mk(256), "b": mk(256)},
+                "lin1": {"v": mk(256, 257), "g": mk(257), "b": mk(257)}},
+        "color": {"lin0": {"v": mk(259, 128), "b": mk(128)}},
+        "nerf": {"lin0": {"v": mk(84, 64), "b": mk(64)}},
+        "variance": mk(1),
+        "beta": {"beta": mk(1), "gamma": mk(1), "zeta": mk(1)},
+    }
+    state_t = init_adam_state(params)
+    state_f = init_adam_state(params)
+    p_t, p_f = params, params
+    lr_fn = make_lr_fn(1e-3, 5e-4, 1e-4)
+    for step in range(4):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)), p_t
+        )
+        # flip variance trainability mid-run like the reference's it>20000 gate
+        fn = make_trainable_fn(bcfg, variance_trainable=float(step >= 2),
+                               beta_trainable=1.0)
+        p_t, state_t = tree_adam_step(p_t, grads, state_t, lr_fn, fn)
+        p_f, state_f = flat_adam_step(p_f, grads, state_f, lr_fn, fn)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_t),
+        jax.tree_util.tree_leaves_with_path(p_f),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+    for a, b in zip(jax.tree_util.tree_leaves(state_t),
+                    jax.tree_util.tree_leaves(state_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
