@@ -30,7 +30,11 @@ def scene_dir(tmp_path_factory):
     return str(d)
 
 
-def _run_window(cfg, ds, unroll, window=4):
+def _run_window(cfg, ds, unroll, window=4, flat_adam=False):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, flat_adam=flat_adam))
     renderer = UDFRenderer(cfg.model)
     params = init_params(jax.random.PRNGKey(0), cfg)
     opt = init_adam_state(params)
@@ -56,6 +60,22 @@ def test_unroll_bit_identical(scene_dir, tmp_path):
     ds = Dataset(cfg.dataset)
     p1, m1 = _run_window(cfg, ds, unroll=1)
     p2, m2 = _run_window(cfg, ds, unroll=2)
+    np.testing.assert_allclose(m1, m2, rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_flat_adam_window_trajectory(scene_dir, tmp_path, monkeypatch):
+    """The flat (single-kernel) Adam yields the same training trajectory
+    through the scan window as the per-leaf Adam. The optimizer math is
+    bit-identical (test_optim.py); end-to-end the fusion boundaries differ,
+    so tight allclose like the unroll test."""
+    monkeypatch.delenv("NEURALUDF_FLAT_ADAM", raising=False)
+    cfg = tiny_config(scene_dir, str(tmp_path / "exp_flat"))
+    ds = Dataset(cfg.dataset)
+    p1, m1 = _run_window(cfg, ds, unroll=1, flat_adam=False)
+    p2, m2 = _run_window(cfg, ds, unroll=1, flat_adam=True)
     np.testing.assert_allclose(m1, m2, rtol=2e-4, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
