@@ -172,6 +172,17 @@ class RendererConfig:
     sdf2alpha_type: str = "numerical"  # 'numerical' | 'theorical'
     upsampling_type: str = "classical"  # 'classical' | 'mix'
     sparse_scale_factor: float = 25000.0
+    # Depth-gated sparse loss (0.0 = reference behavior, the exact
+    # udf_renderer_blending.py:597-599 term over every ray sample). When
+    # > 0: ray samples within this distance of the rendered depth on
+    # confidently-surface rays (stop-grad weight_sum > 0.5) are excluded
+    # from the sparse penalty, so exp(-s*udf) still carves spurious
+    # zero-sets (membranes sit away from the rendered depth) without
+    # lifting the field minimum AT the photometric anchor — the measured
+    # failure mode of strong -s finetunes (scripts/udf_bias_probe.py:
+    # zero-ridge displaced ~3e-3 with the minimum lifted to ~1.7e-3 at
+    # -s 0.01; RESULTS.md garment ledger).
+    sparse_depth_gate: float = 0.0
     h_patch_size: int = 3
     use_norm_grad_for_cosine: bool = False
     # Blending warp sampler. 'gather' = exact XLA bilinear gathers (fast on

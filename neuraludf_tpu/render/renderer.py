@@ -472,9 +472,20 @@ class UDFRenderer:
         # relu keeps the term finite for SIGNED distance heads
         # (model_type='neus'; exp(-s·udf) overflows on udf<0) — a no-op for
         # the unsigned 'abs'/'square' heads the reference trains
-        sparse_error = jnp.mean(
-            jnp.sum(jnp.exp(-rcfg.sparse_scale_factor * jnp.maximum(udf_2d, 0.0)), axis=1)
-        )
+        sparse_term = jnp.exp(-rcfg.sparse_scale_factor * jnp.maximum(udf_2d, 0.0))
+        if rcfg.sparse_depth_gate > 0.0:
+            # exclude samples at the rendered depth on surface rays so the
+            # sparse penalty cannot lift the field minimum at the
+            # photometric anchor (see RendererConfig.sparse_depth_gate)
+            wsum = jax.lax.stop_gradient(
+                jnp.sum(weights[:, :n_fg], axis=-1, keepdims=True)
+            )
+            d_surf = jax.lax.stop_gradient(depth) / jnp.maximum(wsum, 1e-3)
+            protect = (jnp.abs(mid_z - d_surf) <= rcfg.sparse_depth_gate) & (
+                wsum > 0.5
+            )
+            sparse_term = jnp.where(protect, 0.0, sparse_term)
+        sparse_error = jnp.mean(jnp.sum(sparse_term, axis=1))
 
         return {
             "color_base": color_base_out,

@@ -61,6 +61,10 @@ def main():
                          "the whole run (train.freeze_variance — see "
                          "config.py). Counters the variance-regrowth zero-"
                          "level bias diagnosed by scripts/udf_bias_probe.py.")
+    ap.add_argument("--sparse_depth_gate", type=float, default=0.0,
+                    help="ft-stage RendererConfig.sparse_depth_gate: exclude "
+                         "samples within this distance of the rendered depth "
+                         "from the sparse penalty (0 = reference behavior)")
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--fused", default="auto")
@@ -167,6 +171,15 @@ def main():
                 udf_renderer=dataclasses.replace(
                     cfg.model.udf_renderer, h_patch_size=5),
             )
+        if args.sparse_depth_gate:
+            # depth-gated sparse finetune (RendererConfig.sparse_depth_gate):
+            # keep the carve, protect the photometric anchor
+            ft_model = dataclasses.replace(
+                ft_model,
+                udf_renderer=dataclasses.replace(
+                    ft_model.udf_renderer,
+                    sparse_depth_gate=args.sparse_depth_gate),
+            )
         ft_cfg = dataclasses.replace(
             cfg,
             color_loss=ft_color,
@@ -244,6 +257,7 @@ def main():
         "sparse_weight": args.sparse_weight,
         "ft_blend": args.ft_blend,
         "freeze_variance": args.freeze_variance,
+        "sparse_depth_gate": args.sparse_depth_gate or None,
         "batch_size": args.batch_size,
         "resolution": args.resolution,
         "chamfer_e-3": round(r.chamfer * 1e3, 4),
