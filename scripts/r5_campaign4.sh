@@ -23,6 +23,11 @@ print("probe result", float(np.asarray(x @ x)[0, 0]), flush=True)
 EOF
 say "probe done (chip answering)"
 
+say "D0: retry garment ft -s 0.03 (campaign3's C2 lost its grant at iter 50)"
+timeout 7200 python scripts/benchmark_garment.py --tag garment_r5_ft_s03 \
+  --iters 0 --ft_iters 50000 --sparse_weight 0.03 \
+  --ft_init_ckpt "$GCK" >> "$LOG" 2>&1 || say "D0 FAILED rc=$?"
+
 say "D1: garment ft, -s 0.01 + sparse_depth_gate 0.01"
 timeout 7200 python scripts/benchmark_garment.py --tag garment_r5_ft_s01_gate \
   --iters 0 --ft_iters 50000 --sparse_weight 0.01 --sparse_depth_gate 0.01 \
