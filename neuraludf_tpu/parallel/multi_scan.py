@@ -8,11 +8,19 @@ so scaling is embarrassingly parallel over ICI-connected chips.
 
 Requirements: all scans share image resolution and view count (stacked
 scene arrays [S, V, H, W, 3]).
+
+The same machinery doubles as a TPU-native HYPERPARAMETER SWEEP: pass the
+same data_dir S times with per-scan ``train_overrides`` and the
+reference's per-scan CLI sweep (bashs/bash_garment_blending.sh:32-36
+sweeps -s per launch) becomes ONE compiled program — every schedule-borne
+scalar (sparse/igr/mask weights, learning rates, warmup/anneal) enters
+the jitted step as data via the per-scan schedule rows, so S sweep points
+share one trace and run in parallel across the mesh.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +32,16 @@ from ..data.dataset import Dataset
 from ..render.renderer import UDFRenderer
 from ..train.optim import init_adam_state
 from ..train.runner import init_params
+
+
+# TrainConfig fields that reach the jitted step only through the per-scan
+# schedule rows (train/schedules.py) — safe to diverge per scan in a sweep.
+# end_iter is deliberately excluded: it is also the runner's loop length.
+SWEEPABLE_TRAIN_FIELDS = frozenset({
+    "sparse_weight", "igr_weight", "igr_ns_weight", "mask_weight",
+    "learning_rate", "learning_rate_geo", "learning_rate_alpha",
+    "same_lr", "warm_up_end", "anneal_end", "fix_geo_end",
+})
 
 
 def stack_scenes(datasets: List[Dataset]) -> Dict[str, jnp.ndarray]:
@@ -159,6 +177,7 @@ class MultiScanRunner:
         is_continue: bool = False,
         is_finetune: bool = False,
         reg_weights_schedule: bool = False,
+        train_overrides: List[Optional[Dict[str, object]]] = None,
     ):
         import dataclasses
         import os
@@ -175,6 +194,25 @@ class MultiScanRunner:
         ]
         S = self.S = len(data_dirs)
         assert S == len(self.cases)
+
+        # per-scan sweep overrides: only schedule-borne fields may diverge
+        # (they reach the jitted step as data through the per-scan schedule
+        # rows); structural fields would need a different compiled program.
+        self.train_cfgs = [cfg.train] * S
+        if train_overrides is not None:
+            assert len(train_overrides) == S, (len(train_overrides), S)
+            bad = [
+                k for ov in train_overrides if ov
+                for k in ov if k not in SWEEPABLE_TRAIN_FIELDS
+            ]
+            assert not bad, (
+                f"non-schedule-borne train override(s) {sorted(set(bad))}; "
+                f"sweepable: {sorted(SWEEPABLE_TRAIN_FIELDS)}"
+            )
+            self.train_cfgs = [
+                dataclasses.replace(cfg.train, **(ov or {}))
+                for ov in train_overrides
+            ]
 
         self.datasets = [
             Dataset(dataclasses.replace(cfg.dataset, data_dir=d)) for d in data_dirs
@@ -294,13 +332,14 @@ class MultiScanRunner:
         from ..train.schedules import compute_step_schedules
 
         c = self.cfg.color_loss
+        tc = self.train_cfgs[scan]
         return compute_step_schedules(
-            step, self.cfg.train,
+            step, tc,
             c.color_base_weight, c.color_weight,
             c.color_pixel_weight, c.color_patch_weight,
             is_finetune=self.is_finetune,
             reg_weights_schedule=self.reg_weights_schedule,
-            same_lr=self.cfg.train.same_lr,
+            same_lr=tc.same_lr,
             beta_trainable=bool(self.beta_trainable[scan]),
             variance_trainable=bool(self.variance_trainable[scan]),
         )

@@ -35,11 +35,26 @@ def main():
     p.add_argument("--multihost", action="store_true",
                    help="multi-host pod: initialize jax.distributed and train "
                         "this process's round-robin share of --cases")
+    p.add_argument("--sweep", type=str, default=None,
+                   help="hyperparameter sweep over ONE case: "
+                        "'field=v1,v2,...' (e.g. sparse_weight=0.001,0.01). "
+                        "Requires exactly one --cases entry; it is replicated "
+                        "once per value and each replica trains with that "
+                        "override — the reference's per-scan -s sweep "
+                        "(bashs/bash_garment_blending.sh:32-36) as one "
+                        "compiled program across the mesh")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (virtual mesh via XLA_FLAGS="
+                        "--xla_force_host_platform_device_count=N)")
     args = p.parse_args()
 
     from neuraludf_tpu.utils import setup_jax
 
     setup_jax()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     multihost_mod = None
     if args.multihost:
@@ -79,6 +94,17 @@ def main():
             cfg.dataset.data_dir.replace(args.cases[0], case) for case in args.cases
         ]
 
+        train_overrides = None
+        if args.sweep:
+            assert len(args.cases) == 1, "--sweep takes exactly one --cases"
+            field, _, vals = args.sweep.partition("=")
+            values = [float(v) for v in vals.split(",") if v]
+            assert len(values) >= 2, "--sweep needs >= 2 values"
+            train_overrides = [{field: v} for v in values]
+            args.cases = [f"{args.cases[0]}_{field}{v:g}" for v in values]
+            data_dirs = data_dirs * len(values)
+            print(f"sweeping {field} over {values} on {data_dirs[0]}")
+
         if args.multihost:
             # scans were partitioned per host: each process trains its share
             # on its LOCAL chips, zero cross-host traffic (independent scans)
@@ -95,6 +121,7 @@ def main():
             out_dir=args.out_dir, seed=args.seed,
             is_continue=args.is_continue, is_finetune=args.is_finetune,
             reg_weights_schedule=args.reg_weights_schedule,
+            train_overrides=train_overrides,
         )
         runner.train()
         runner.save_checkpoints()

@@ -222,3 +222,76 @@ def test_multi_scan_runner_matches_single_runs(scan_dirs, tmp_path):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
             )
+
+
+def test_multi_scan_sweep_overrides_match_single_runs(scan_dirs, tmp_path):
+    """Sweep mode: the SAME scan with per-scan train_overrides (the
+    reference's per-scan -s sweep as one program,
+    ref bashs/bash_garment_blending.sh:32-36) == single-scan replication
+    with each override applied. Only schedule-borne fields diverge, so
+    both sweep points share one compiled step."""
+    from neuraludf_tpu.data.dataset import Dataset
+    from neuraludf_tpu.parallel.multi_scan import MultiScanRunner
+    from neuraludf_tpu.parallel.sharding import make_mesh
+    from neuraludf_tpu.render.renderer import UDFRenderer
+    from neuraludf_tpu.train.optim import init_adam_state
+    from neuraludf_tpu.train.runner import init_params
+    from neuraludf_tpu.train.schedules import compute_step_schedules
+    from neuraludf_tpu.train.step import build_train_step
+
+    cfg = _tiny_cfg(4, tmp_path)
+    overrides = [{"sparse_weight": 0.0},
+                 {"sparse_weight": 0.3, "learning_rate": 2e-3}]
+    ms = MultiScanRunner(
+        cfg, [scan_dirs[0], scan_dirs[0]], case_names=["s0", "s1"],
+        mesh=make_mesh(2), out_dir=str(tmp_path / "sweep"), seed=0,
+        train_overrides=overrides,
+    )
+    ms.train()
+
+    renderer = UDFRenderer(cfg.model)
+    step = build_train_step(cfg, renderer, blending=False)
+    ds = Dataset(dataclasses.replace(cfg.dataset, data_dir=scan_dirs[0]))
+    for i, ov in enumerate(overrides):
+        tc = dataclasses.replace(cfg.train, **ov)
+        params = init_params(jax.random.PRNGKey(0 + i), cfg)
+        opt = init_adam_state(params)
+        rng = jax.random.split(jax.random.PRNGKey(0), 2)[i]
+        perm = np.random.RandomState(i).permutation(ds.n_images)
+        rng, base = jax.random.split(rng)
+        keys = jax.random.split(base, 4)
+        for j in range(4):
+            s = compute_step_schedules(
+                j, tc, cfg.color_loss.color_base_weight,
+                cfg.color_loss.color_weight, cfg.color_loss.color_pixel_weight,
+                cfg.color_loss.color_patch_weight,
+                is_finetune=False, reg_weights_schedule=False,
+                same_lr=tc.same_lr, beta_trainable=True,
+                variance_trainable=True,
+            )
+            params, opt, m = step(
+                params, opt, ds.scene, ds.ref_src_pairs,
+                jnp.asarray(perm[j % ds.n_images]), keys[j], dict(s.__dict__),
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x: x[i], ms.params)
+            ),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
+
+
+def test_multi_scan_sweep_rejects_structural_overrides(scan_dirs, tmp_path):
+    from neuraludf_tpu.parallel.multi_scan import MultiScanRunner
+    from neuraludf_tpu.parallel.sharding import make_mesh
+
+    cfg = _tiny_cfg(4, tmp_path)
+    with pytest.raises(AssertionError, match="batch_size"):
+        MultiScanRunner(
+            cfg, [scan_dirs[0], scan_dirs[0]], case_names=["a", "b"],
+            mesh=make_mesh(2), out_dir=str(tmp_path / "bad"), seed=0,
+            train_overrides=[{}, {"batch_size": 8}],
+        )
