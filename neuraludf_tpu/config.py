@@ -58,7 +58,13 @@ class TrainConfig:
     sparse_weight: float = 0.0
     # capability switches (recorded in the experiment snapshot; the
     # NEURALUDF_* env vars remain as overrides only)
-    blend_scan_window: bool = False  # lax.scan windows for blending steps
+    blend_scan_window: bool = True  # lax.scan windows for blending steps.
+    # Default ON since round 5: the round-3 worker crash was SMEM exhaustion
+    # by the strip kernel's origin operands (root-caused + fixed round 4 by
+    # origin packing/NW segmenting), and the on-chip probe
+    # (scripts/blend_scan_probe.py) measures scan windows at 54.9 ms/step vs
+    # 100.2 pipelined at the production ft shape. NEURALUDF_BLEND_WINDOW=0
+    # opts back into pipelined per-step dispatch.
     stall_warn_s: float = 600.0  # warn when no dispatch completes for this
     # long (0 disables) — a TPU-worker restart leaves the in-flight RPC
     # blocked forever with zero signal; see utils/watchdog.py

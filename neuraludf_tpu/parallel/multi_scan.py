@@ -388,13 +388,15 @@ class MultiScanRunner:
         tcfg = self.cfg.train
         window = self._window_size()
         t_start = time.time()
-        # Same constraint as the single-scan Runner: the blending step body
-        # hard-crashes the axon TPU worker inside a lax.scan window, so
-        # blending dispatches fall back to pipelined single steps unless
-        # scan windows are explicitly re-enabled (ADVICE r3).
+        # Same policy as the single-scan Runner: blending runs in scan
+        # windows by default since round 5 (the round-3 worker crash was the
+        # strip kernel's SMEM origin operands, fixed round 4; the on-chip
+        # probe measures scan windows 1.8x faster than pipelined dispatch).
+        # NEURALUDF_BLEND_WINDOW=0/1 overrides the config.
+        env_bw = os.environ.get("NEURALUDF_BLEND_WINDOW")
         blend_windows_ok = (
-            os.environ.get("NEURALUDF_BLEND_WINDOW") == "1"
-            or tcfg.blend_scan_window
+            env_bw == "1" if env_bw in ("0", "1")
+            else tcfg.blend_scan_window
         )
 
         def next_img_indices(k: int) -> np.ndarray:

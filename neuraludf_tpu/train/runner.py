@@ -305,19 +305,20 @@ class Runner:
 
         dataclass_dict = lambda s: dict(s.__dict__)
 
-        # Blending iterations run as pipelined single-step dispatches by
-        # default: the SAME step body works standalone on TPU but hard-crashes
-        # the axon TPU worker when wrapped in the lax.scan window (runtime
-        # fault, fused kernels on or off; stage-1 scan windows are
-        # unaffected). Pipelining exploits JAX's async dispatch — all k steps
-        # of a window are enqueued back-to-back and ONE stacked [k, M] metric
-        # transfer syncs at the end, so the tunnel round trip amortizes over
-        # the window exactly like the lax.scan path (VERDICT r2 weak #1).
-        # The config switch blend_scan_window=True re-enables scan windows
-        # for blending (env NEURALUDF_BLEND_WINDOW=1 as an override).
+        # Blending iterations run inside lax.scan windows by default (round 5):
+        # the round-3 worker hard-crash that forced pipelined per-step
+        # dispatch was SMEM exhaustion by the strip kernel's origin operands,
+        # root-caused and fixed in round 4 (origin packing + NW segmenting),
+        # and the on-chip probe (scripts/blend_scan_probe.py) measures scan
+        # windows at 54.9 ms/step vs 100.2 pipelined at the production ft
+        # shape. The pipelined path remains for boundary windows (blending
+        # activates mid-window / tails) and as the NEURALUDF_BLEND_WINDOW=0
+        # opt-out; it exploits JAX's async dispatch — all k steps enqueued
+        # back-to-back, ONE stacked [k, M] metric transfer at the end.
+        env_bw = os.environ.get("NEURALUDF_BLEND_WINDOW")
         blend_windows_ok = (
-            os.environ.get("NEURALUDF_BLEND_WINDOW") == "1"
-            or self.cfg.train.blend_scan_window
+            env_bw == "1" if env_bw in ("0", "1")
+            else self.cfg.train.blend_scan_window
         )
 
         done = 0
