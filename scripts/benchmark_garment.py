@@ -142,6 +142,12 @@ def main():
     train_s = 0.0
     if args.ft_init_ckpt:
         stage1_ck = args.ft_init_ckpt
+        if not args.ft_iters:
+            # extract+eval-only invocation: no ft Runner will be built, so
+            # the checkpoint must load into THIS runner (without this, the
+            # stage-1 runner kept its random init and the row scored an
+            # untrained field — caught round 5 by a 50e-3 "result")
+            runner.load_checkpoint(stage1_ck)
     elif args.skip_train:
         stage1_ck = args.init_ckpt or runner._latest_checkpoint()
         assert stage1_ck, f"--skip_train but no checkpoint under {exp_dir}"
