@@ -88,7 +88,11 @@ class TrainConfig:
     # concatenated 1.29M-element parameter vector instead of ~85 per-leaf
     # fusions. Targets the ~3.6 ms/step weight-restaging stall on the scan
     # window's backward→optimizer→forward critical path (DESIGN.md §7c).
-    # Env NEURALUDF_FLAT_ADAM=1/0 overrides (A/B knob).
+    # On-chip A/B (back-to-back bench.py pair, fresh container): NEGATIVE —
+    # 17.30 ms/step flat vs 16.88 tree. The concat/split reshuffle adds more
+    # copy work than the fused update saves; the restaging stall is dominated
+    # by the *forward* weight prefetch, which the flat layout does not touch.
+    # Default stays False. Env NEURALUDF_FLAT_ADAM=1/0 overrides (A/B knob).
 
 
 @dataclass(frozen=True)

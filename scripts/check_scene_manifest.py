@@ -34,11 +34,21 @@ def sha256(path: str) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
+    ap.add_argument("--scenes", default=None,
+                    help="comma-separated scene-name substrings to check "
+                         "(e.g. 'garment'); default: all")
     args = ap.parse_args()
+    scenes = dict(SCENES)
+    if args.scenes:
+        keep = args.scenes.split(",")
+        scenes = {k: v for k, v in scenes.items()
+                  if any(s in k for s in keep)}
 
     if args.update:
-        man = {}
-        for key, rel in SCENES.items():
+        # merge into the committed manifest so a filtered --update never
+        # drops the other scene's hashes
+        man = json.load(open(MANIFEST)) if os.path.exists(MANIFEST) else {}
+        for key, rel in scenes.items():
             d = os.path.join(ROOT, rel)
             files = ["cameras.npz"] + sorted(
                 os.path.join(sub, f)
@@ -54,7 +64,7 @@ def main() -> int:
 
     man = json.load(open(MANIFEST))
     ok = bad = 0
-    for key, rel in SCENES.items():
+    for key, rel in scenes.items():
         d = os.path.join(ROOT, rel)
         for f, want in man.get(key, {}).items():
             p = os.path.join(d, f)
